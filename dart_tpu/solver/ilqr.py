@@ -1,0 +1,287 @@
+"""Batched constrained trajectory optimisation: box-DDP + augmented Lagrangian.
+
+This module is the TPU-native replacement for every CasADi+IPOPT NLP in the
+reference (`PMPC/src/controller/mpc_3d.py:81-85`,
+`RMPC/dev_dual/controller/np_mpc_adaptive_with_linear_regressor.py:157-162`,
+`LMPC/src/controller/rlmpc2.py:479-491`). Where IPOPT solves the sparse
+multiple-shooting NLP with an interior-point method on one CPU core, we solve
+the same optimal-control problems with:
+
+- a Riccati backward pass (`lax.scan`) whose per-stage subproblem is an
+  *exact* box QP over the tilt command (nu = 2 -> active-set enumeration,
+  `dart_tpu.ops.boxqp`), giving control-limited DDP (Tassa et al. 2014);
+- an augmented-Lagrangian outer loop for the remaining inequality
+  constraints (slew-rate, velocity caps) — AL-iLQR;
+- jacobians/hessians from `jax.jacfwd`/`jax.hessian` instead of CasADi
+  symbolic AD;
+- everything jit-compiled with static shapes, so thousands of scenario
+  solves batch under `vmap` and shard over a device mesh.
+
+The decision-variable layout differs from IPOPT's (single shooting with
+feedback gains vs multiple shooting) but the optimisation problem is the
+same; tests validate the returned first control against scipy SLSQP golden
+solutions on the reference OCPs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dart_tpu.ops.boxqp import boxqp
+
+
+class OCPDef(NamedTuple):
+    """A discrete-time optimal-control problem over horizon N.
+
+    States z may be *augmented* (e.g. [x, u_prev] to express slew costs);
+    variant front-ends in `dart_tpu.solver.ocp` build these.
+    """
+
+    step: Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
+    stage_cost: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
+    term_cost: Callable[[jnp.ndarray, Any], jnp.ndarray]
+    # Control bounds as static tuples (OCPDef must stay hashable for jit).
+    u_lo: tuple
+    u_hi: tuple
+    # c(z, v, k, aux) <= 0 elementwise, applied at stages 0..N-1.
+    constraints: Optional[Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]] = None
+    n_con: int = 0
+
+
+class ILQRConfig(NamedTuple):
+    max_iters: int = 60          # inner iLQR iterations per AL round
+    al_iters: int = 5            # augmented-Lagrangian rounds
+    mu_init: float = 10.0        # initial penalty weight
+    mu_scale: float = 10.0       # penalty growth when violation stalls
+    mu_max: float = 1e8
+    tol_con: float = 1e-8        # constraint violation target
+    tol_step: float = 1e-7       # max feedforward step for convergence
+    tol_cost: float = 1e-9       # relative cost decrease for convergence
+    reg_init: float = 1e-6
+    reg_min: float = 1e-9
+    reg_max: float = 1e9
+    reg_up: float = 8.0
+    reg_down: float = 0.25
+    n_alphas: int = 11           # line-search resolution (0.6^k)
+
+
+class ILQRSolution(NamedTuple):
+    V: jnp.ndarray          # (N, nu) optimal open-loop controls
+    Z: jnp.ndarray          # (N+1, nz) corresponding state trajectory
+    K: jnp.ndarray          # (N, nu, nz) feedback gains (for plan reuse)
+    cost: jnp.ndarray       # scalar: original (unpenalised) cost
+    viol: jnp.ndarray       # scalar: max inequality violation
+    iters: jnp.ndarray      # total inner iterations used
+    grad_norm: jnp.ndarray  # final max |feedforward|
+
+
+def _al_penalty(c: jnp.ndarray, lam: jnp.ndarray, mu: jnp.ndarray) -> jnp.ndarray:
+    """Powell-Hestenes-Rockafellar penalty for c <= 0."""
+    t = jnp.maximum(0.0, lam + mu * c)
+    return jnp.sum(t * t - lam * lam) / (2.0 * mu)
+
+
+def _rollout(ocp: OCPDef, params, z0, V):
+    def f(z, v):
+        zn = ocp.step(z, v, params)
+        return zn, zn
+
+    _, Zs = jax.lax.scan(f, z0, V)
+    return jnp.concatenate([z0[None], Zs], axis=0)
+
+
+def _total_cost(ocp: OCPDef, params, aux, Z, V, lam, mu):
+    ks = jnp.arange(V.shape[0])
+
+    def stage(k, z, v, lam_k):
+        c = ocp.stage_cost(z, v, k, aux)
+        if ocp.n_con:
+            c = c + _al_penalty(ocp.constraints(z, v, k, aux), lam_k, mu)
+        return c
+
+    cs = jax.vmap(stage)(ks, Z[:-1], V, lam)
+    return jnp.sum(cs) + ocp.term_cost(Z[-1], aux)
+
+
+def _raw_cost(ocp: OCPDef, aux, Z, V):
+    ks = jnp.arange(V.shape[0])
+    cs = jax.vmap(lambda k, z, v: ocp.stage_cost(z, v, k, aux))(ks, Z[:-1], V)
+    return jnp.sum(cs) + ocp.term_cost(Z[-1], aux)
+
+
+def _linearize(ocp: OCPDef, params, aux, Z, V, lam, mu):
+    """Stage-wise Jacobians of dynamics and quadratic expansion of AL cost."""
+    ks = jnp.arange(V.shape[0])
+
+    def dyn_jac(z, v):
+        A = jax.jacfwd(ocp.step, argnums=0)(z, v, params)
+        B = jax.jacfwd(ocp.step, argnums=1)(z, v, params)
+        return A, B
+
+    A, B = jax.vmap(dyn_jac)(Z[:-1], V)
+
+    nz = Z.shape[-1]
+
+    def cost_quad(k, z, v, lam_k):
+        def l_of(zv):
+            zz, vv = zv[:nz], zv[nz:]
+            c = ocp.stage_cost(zz, vv, k, aux)
+            if ocp.n_con:
+                c = c + _al_penalty(ocp.constraints(zz, vv, k, aux), lam_k, mu)
+            return c
+
+        zv = jnp.concatenate([z, v])
+        g = jax.grad(l_of)(zv)
+        H = jax.hessian(l_of)(zv)
+        return g[:nz], g[nz:], H[:nz, :nz], H[nz:, :nz], H[nz:, nz:]
+
+    lx, lu, lxx, lux, luu = jax.vmap(cost_quad)(ks, Z[:-1], V, lam)
+    gx = jax.grad(ocp.term_cost)(Z[-1], aux)
+    gxx = jax.hessian(ocp.term_cost)(Z[-1], aux)
+    return A, B, lx, lu, lxx, lux, luu, gx, gxx
+
+
+def _backward(derivs, V, u_lo, u_hi, reg):
+    """Riccati sweep with per-stage exact box QP (control-limited DDP)."""
+    A, B, lx, lu, lxx, lux, luu, gx, gxx = derivs
+    nu = V.shape[-1]
+    nz = A.shape[-1]
+    eye = jnp.eye(nz, dtype=V.dtype)
+
+    def stage(carry, inp):
+        Vx, Vxx, dV1, dV2 = carry
+        A_k, B_k, lx_k, lu_k, lxx_k, lux_k, luu_k, v_k = inp
+        Qx = lx_k + A_k.T @ Vx
+        Qu = lu_k + B_k.T @ Vx
+        Vxx_reg = Vxx + reg * eye
+        Qxx = lxx_k + A_k.T @ Vxx @ A_k
+        Qux = lux_k + B_k.T @ Vxx_reg @ A_k
+        Quu = luu_k + B_k.T @ Vxx_reg @ B_k
+        Quu = 0.5 * (Quu + Quu.T) + 1e-9 * jnp.eye(nu, dtype=V.dtype)
+
+        lo = u_lo - v_k
+        hi = u_hi - v_k
+        d, free = boxqp(Quu, Qu, lo, hi)
+        # Feedback only on free dims: solve Quu_ff K_f = -Qux_f.
+        H = Quu * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        K = -jnp.linalg.solve(H, Qux * free[:, None])
+
+        Vx_n = Qx + K.T @ Quu @ d + K.T @ Qu + Qux.T @ d
+        Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+        dV1_n = dV1 + Qu @ d
+        dV2_n = dV2 + 0.5 * d @ Quu @ d
+        return (Vx_n, Vxx_n, dV1_n, dV2_n), (d, K)
+
+    init = (gx, gxx, jnp.zeros((), V.dtype), jnp.zeros((), V.dtype))
+    (_, _, dV1, dV2), (D, Ks) = jax.lax.scan(
+        stage, init, (A, B, lx, lu, lxx, lux, luu, V), reverse=True
+    )
+    return D, Ks, dV1, dV2
+
+
+def _forward(ocp, params, aux, Z, V, D, Ks, lam, mu, alpha, u_lo, u_hi):
+    """Closed-loop rollout with clamped controls at step length alpha."""
+    def f(z, inp):
+        z_ref, v_ref, d, K = inp
+        v = jnp.clip(v_ref + alpha * d + K @ (z - z_ref), u_lo, u_hi)
+        zn = ocp.step(z, v, params)
+        return zn, (zn, v)
+
+    _, (Zs, Vn) = jax.lax.scan(f, Z[0], (Z[:-1], V, D, Ks))
+    Zn = jnp.concatenate([Z[:1], Zs], axis=0)
+    cost = _total_cost(ocp, params, aux, Zn, Vn, lam, mu)
+    return Zn, Vn, cost
+
+
+def _ilqr_inner(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0, V0, lam, mu):
+    """Run iLQR to convergence on the AL-augmented objective (jit-safe)."""
+    Z0 = _rollout(ocp, params, z0, V0)
+    cost0 = _total_cost(ocp, params, aux, Z0, V0, lam, mu)
+    alphas = jnp.power(0.6, jnp.arange(cfg.n_alphas)).astype(V0.dtype)
+    u_lo = jnp.asarray(ocp.u_lo, V0.dtype)
+    u_hi = jnp.asarray(ocp.u_hi, V0.dtype)
+
+    def cond(carry):
+        _, _, _, _, it, done, _, _ = carry
+        return (it < cfg.max_iters) & (~done)
+
+    def body(carry):
+        Z, V, K_prev, cost, it, _, reg, gnorm = carry
+        derivs = _linearize(ocp, params, aux, Z, V, lam, mu)
+        D, Ks, dV1, dV2 = _backward(derivs, V, u_lo, u_hi, reg)
+
+        Zc, Vc, costs = jax.vmap(
+            lambda a: _forward(ocp, params, aux, Z, V, D, Ks, lam, mu, a, u_lo, u_hi)
+        )(alphas)
+        best = jnp.argmin(costs)
+        cost_new = costs[best]
+        improved = cost_new < cost - 1e-12
+        Z_n = jnp.where(improved, Zc[best], Z)
+        V_n = jnp.where(improved, Vc[best], V)
+        K_n = jnp.where(improved, Ks, K_prev)
+        reg_n = jnp.where(
+            improved,
+            jnp.maximum(reg * cfg.reg_down, cfg.reg_min),
+            jnp.minimum(reg * cfg.reg_up, cfg.reg_max),
+        )
+        gnorm_n = jnp.max(jnp.abs(D))
+        rel_decrease = (cost - cost_new) / (jnp.abs(cost) + 1.0)
+        done = (improved & (rel_decrease < cfg.tol_cost)) | \
+               (gnorm_n < cfg.tol_step) | \
+               ((~improved) & (reg >= cfg.reg_max))
+        cost_keep = jnp.where(improved, cost_new, cost)
+        return (Z_n, V_n, K_n, cost_keep, it + 1, done, reg_n, gnorm_n)
+
+    K_init = jnp.zeros((V0.shape[0], V0.shape[1], Z0.shape[1]), V0.dtype)
+    init = (Z0, V0, K_init, cost0, jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), jnp.asarray(cfg.reg_init, V0.dtype),
+            jnp.asarray(jnp.inf, V0.dtype))
+    Z, V, K, cost, it, _, _, gnorm = jax.lax.while_loop(cond, body, init)
+    return Z, V, K, cost, it, gnorm
+
+
+@functools.partial(jax.jit, static_argnames=("ocp", "cfg"))
+def solve(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
+          V_init: jnp.ndarray) -> ILQRSolution:
+    """Solve one OCP. vmap over (params, aux, z0, V_init) for batches.
+
+    `ocp` and `cfg` are static (hashable NamedTuples of callables/floats);
+    all numeric inputs are traced.
+    """
+    N = V_init.shape[0]
+    dtype = V_init.dtype
+    V = jnp.clip(V_init, jnp.asarray(ocp.u_lo, dtype), jnp.asarray(ocp.u_hi, dtype))
+
+    if ocp.n_con == 0:
+        lam = jnp.zeros((N, 1), dtype)  # unused placeholder
+        Z, V, K, _, it, gnorm = _ilqr_inner(
+            ocp, cfg, params, aux, z0, V, lam, jnp.asarray(1.0, dtype))
+        raw = _raw_cost(ocp, aux, Z, V)
+        return ILQRSolution(V, Z, K, raw, jnp.zeros((), dtype), it, gnorm)
+
+    lam0 = jnp.zeros((N, ocp.n_con), dtype)
+
+    def al_round(carry, _):
+        V, lam, mu, viol_prev, tot_it = carry
+        Z, V_n, K, _, it, gnorm = _ilqr_inner(ocp, cfg, params, aux, z0, V, lam, mu)
+        ks = jnp.arange(N)
+        C = jax.vmap(lambda k, z, v: ocp.constraints(z, v, k, aux))(ks, Z[:-1], V_n)
+        lam_n = jnp.maximum(0.0, lam + mu * C)
+        viol = jnp.max(jnp.maximum(C, 0.0)) if C.size else jnp.zeros((), dtype)
+        mu_n = jnp.where(viol > cfg.tol_con,
+                         jnp.minimum(mu * cfg.mu_scale, cfg.mu_max), mu)
+        return (V_n, lam_n, mu_n, viol, tot_it + it), (Z, K, viol, gnorm)
+
+    init = (V, lam0, jnp.asarray(cfg.mu_init, dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32))
+    (V, lam, mu, viol, tot_it), (Zs, Ks, viols, gnorms) = jax.lax.scan(
+        al_round, init, None, length=cfg.al_iters)
+    Z = Zs[-1]
+    K = Ks[-1]
+    raw = _raw_cost(ocp, aux, Z, V)
+    return ILQRSolution(V, Z, K, raw, viol, tot_it, gnorms[-1])
