@@ -1,0 +1,248 @@
+"""Receding-horizon MPC front-ends for the three variants.
+
+Each controller is a thin, *stateless* object holding only static problem
+structure (OCP definition, horizon, solver config); all evolving quantities
+(warm-start trajectory, previous control, RLS estimate, cached plan) live in
+an explicit carry pytree. This is the TPU-native replacement for the
+reference's controller objects + worker processes:
+
+- `PMPC`  ~ `PMPC/src/controller/mpc_3d.py:11-158`
+- `RMPC`  ~ `AdaptiveNPMPCSmooth` + `RLS` + the reference-governor loop of
+  `RMPC/dev_dual/rob_ctrl.py:331-361`
+- `LMPC`  ~ `RLMPC` host + CasADi solver worker (`rlmpc2.py:110-533,986-1021`)
+  including the plan-shifting semantics for emulated solver lag.
+
+Because carries are pytrees and `solve` is jit/vmap-safe, whole scenario
+sweeps batch with `vmap` and shard over device meshes — this subsumes the
+reference's process-per-solver topology (SURVEY.md section 2.6).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dart_tpu.adapt.rls import RLSState, rls_init, rls_update
+from dart_tpu.control.reference import build_ref_traj, reference_governor
+from dart_tpu.models import dynamics as dyn
+from dart_tpu.solver import ilqr
+from dart_tpu.solver.ocp import (LMPCAux, PMPCAux, RMPCAux, make_lmpc_ocp,
+                                 make_pmpc_ocp, make_rmpc_ocp,
+                                 make_rmpc_ocp_du)
+
+
+class SolveDiag(NamedTuple):
+    cost: jnp.ndarray
+    viol: jnp.ndarray
+    iters: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+def _shift(V: jnp.ndarray) -> jnp.ndarray:
+    """Receding-horizon warm start: drop stage 0, repeat the tail."""
+    return jnp.concatenate([V[1:], V[-1:]], axis=0)
+
+
+def _diag(sol: ilqr.ILQRSolution) -> SolveDiag:
+    return SolveDiag(sol.cost, sol.viol, sol.iters, sol.grad_norm)
+
+
+# --------------------------------------------------------------------------
+# PMPC
+# --------------------------------------------------------------------------
+
+class PMPCWeights(NamedTuple):
+    """Per-object tuning table entries (`PMPC/main_parallel.py:107-122`)."""
+
+    Qp: jnp.ndarray
+    Qv: jnp.ndarray
+    R: jnp.ndarray
+
+
+# Reference tables: cube(600,5,.1) cylinder(400,2.5,.2) sphere(200,2,.2)
+# general(300,2,.2).
+PMPC_WEIGHTS = {
+    "cube": PMPCWeights(jnp.asarray(600.0), jnp.asarray(5.0), jnp.asarray(0.1)),
+    "cylinder": PMPCWeights(jnp.asarray(400.0), jnp.asarray(2.5), jnp.asarray(0.2)),
+    "sphere": PMPCWeights(jnp.asarray(200.0), jnp.asarray(2.0), jnp.asarray(0.2)),
+    "general": PMPCWeights(jnp.asarray(300.0), jnp.asarray(2.0), jnp.asarray(0.2)),
+}
+
+
+class PMPCCarry(NamedTuple):
+    V: jnp.ndarray               # (N, 2) warm-start control trajectory
+
+
+class PMPC:
+    """Analytic tray-tilt MPC (nx=6, nu=2)."""
+
+    def __init__(self, N: int = 15, dt: float = 0.002, u_bound: float = 0.6,
+                 cfg: ilqr.ILQRConfig = ilqr.ILQRConfig()):
+        self.N, self.dt = N, dt
+        self.ocp = make_pmpc_ocp(dt=dt, u_bound=u_bound)
+        self.cfg = cfg
+
+    def init_carry(self, dtype=jnp.float32) -> PMPCCarry:
+        return PMPCCarry(V=jnp.zeros((self.N, 2), dtype))
+
+    def solve(self, carry: PMPCCarry, state: jnp.ndarray, target: jnp.ndarray,
+              params: dyn.PMPCParams, weights: PMPCWeights):
+        aux = PMPCAux(target=target, Qp=weights.Qp, Qv=weights.Qv, R=weights.R)
+        sol = ilqr.solve(self.ocp, self.cfg, params, aux, state, carry.V)
+        return PMPCCarry(V=_shift(sol.V)), sol.V[0], _diag(sol)
+
+
+# --------------------------------------------------------------------------
+# RMPC (adaptive, with RLS + reference governor inside the carry)
+# --------------------------------------------------------------------------
+
+class RMPCWeights(NamedTuple):
+    Qp: jnp.ndarray
+    Qv: jnp.ndarray
+    Ru: jnp.ndarray
+    Rdu: jnp.ndarray
+
+
+RMPC_DEFAULT_WEIGHTS = RMPCWeights(jnp.asarray(100.0), jnp.asarray(1.0),
+                                   jnp.asarray(0.05), jnp.asarray(1.0))
+
+
+class RMPCCarry(NamedTuple):
+    V: jnp.ndarray               # (N, 2) warm start
+    u_prev: jnp.ndarray          # (2,) previously applied tilt
+    r_v: jnp.ndarray             # (4,) governor virtual reference
+    rls_x: RLSState
+    rls_y: RLSState
+    prev_state: jnp.ndarray      # (4,) for finite-difference acceleration
+
+
+class RMPC:
+    """Adaptive MPC: RLS update -> governor -> staged ref -> solve.
+
+    One call = one control step of `rob_ctrl.py:331-361`.
+    """
+
+    def __init__(self, N: int = 20, dt: float = 0.002, u_bound: float = 0.4,
+                 du_bound: float = 0.05, vmax: float = 0.25, v_eps: float = 0.1,
+                 rls_lam: float = 0.995, dr_max: float = 0.01,
+                 rg_alpha: float = 0.5, step_fraction: float = 0.2,
+                 slew_exact: bool = True,
+                 cfg: ilqr.ILQRConfig = ilqr.ILQRConfig()):
+        self.N, self.dt, self.v_eps = N, dt, v_eps
+        self.rls_lam, self.dr_max, self.rg_alpha = rls_lam, dr_max, rg_alpha
+        self.step_fraction = step_fraction
+        self.u_bound = u_bound
+        self.slew_exact = slew_exact
+        if slew_exact:
+            # Recommended mode: slew bounds exact in the DDP box QP.
+            self.ocp = make_rmpc_ocp_du(dt=dt, u_bound=u_bound,
+                                        du_bound=du_bound, vmax=vmax)
+        else:
+            # Reference-faithful mode: slew as soft (AL) constraints, like
+            # IPOPT's treatment of the g-bounds.
+            self.ocp = make_rmpc_ocp(dt=dt, u_bound=u_bound,
+                                     du_bound=du_bound, vmax=vmax)
+        self.cfg = cfg
+
+    def init_carry(self, state0: jnp.ndarray, dtype=jnp.float32) -> RMPCCarry:
+        state0 = jnp.asarray(state0, dtype)
+        return RMPCCarry(
+            V=jnp.zeros((self.N, 2), dtype),
+            u_prev=jnp.zeros(2, dtype),
+            r_v=state0 * jnp.asarray([1, 0, 1, 0], dtype),
+            rls_x=rls_init(7, dtype=dtype),
+            rls_y=rls_init(7, dtype=dtype),
+            prev_state=state0,
+        )
+
+    def solve(self, carry: RMPCCarry, state: jnp.ndarray, target: jnp.ndarray,
+              weights: RMPCWeights = RMPC_DEFAULT_WEIGHTS):
+        # 1. RLS from finite-difference acceleration, features at prev state
+        #    (gravity term deliberately NOT subtracted — rob_ctrl.py:341-343).
+        ax_meas = (state[1] - carry.prev_state[1]) / self.dt
+        ay_meas = (state[3] - carry.prev_state[3]) / self.dt
+        phi = dyn.rmpc_features(carry.prev_state, self.v_eps)
+        rls_x = rls_update(carry.rls_x, phi, ax_meas, self.rls_lam)
+        rls_y = rls_update(carry.rls_y, phi, ay_meas, self.rls_lam)
+        theta = jnp.concatenate([rls_x.theta, rls_y.theta])
+
+        # 2. Reference governor + staged reference trajectory.
+        r_v = reference_governor(carry.r_v, target, self.dr_max, self.rg_alpha)
+        ref = build_ref_traj(r_v, target, self.N, self.step_fraction)
+
+        # 3. Solve with u_prev in the augmented initial state.
+        params = dyn.RMPCParams(theta=theta, v_eps=self.v_eps)
+        aux = RMPCAux(ref=ref, Qp=weights.Qp, Qv=weights.Qv, Ru=weights.Ru,
+                      Rdu=weights.Rdu)
+        z0 = jnp.concatenate([state, carry.u_prev])
+        sol = ilqr.solve(self.ocp, self.cfg, params, aux, z0, carry.V)
+        if self.slew_exact:
+            u = jnp.clip(carry.u_prev + sol.V[0], -self.u_bound, self.u_bound)
+        else:
+            u = sol.V[0]
+        new_carry = RMPCCarry(V=_shift(sol.V), u_prev=u, r_v=r_v, rls_x=rls_x,
+                              rls_y=rls_y, prev_state=state)
+        return new_carry, u, _diag(sol)
+
+
+# --------------------------------------------------------------------------
+# LMPC (RL-tuned model parameters; plan-shift on emulated solver lag)
+# --------------------------------------------------------------------------
+
+class LMPCWeights(NamedTuple):
+    Q: jnp.ndarray               # (8,)
+    R: jnp.ndarray               # (4,) on [u, du]
+    Qt: jnp.ndarray              # (8,)
+
+
+LMPC_DEFAULT_WEIGHTS = LMPCWeights(
+    Q=jnp.asarray([200.0, 2.0, 200.0, 2.0, 0.0, 0.0, 0.0, 0.0]),
+    R=jnp.asarray([0.1, 0.1, 1.0, 1.0]),
+    Qt=jnp.asarray([200.0, 2.0, 200.0, 2.0, 0.0, 0.0, 0.0, 0.0]),
+)
+
+
+class LMPCCarry(NamedTuple):
+    V: jnp.ndarray               # (N, 2) warm start
+    U_plan: jnp.ndarray          # (N, 2) last full plan (for shifting)
+    plan_idx: jnp.ndarray        # int: next index into the stale plan
+    u_prev: jnp.ndarray          # (2,) last applied control
+
+
+class LMPC:
+    """MPC over the 34-parameter learned model (nx=8, nu=2)."""
+
+    def __init__(self, N: int = 20, dt: float = 0.002, u_bound: float = 0.4,
+                 cfg: ilqr.ILQRConfig = ilqr.ILQRConfig()):
+        self.N, self.dt = N, dt
+        self.ocp = make_lmpc_ocp(dt=dt, u_bound=u_bound)
+        self.cfg = cfg
+
+    def init_carry(self, dtype=jnp.float32) -> LMPCCarry:
+        return LMPCCarry(V=jnp.zeros((self.N, 2), dtype),
+                         U_plan=jnp.zeros((self.N, 2), dtype),
+                         plan_idx=jnp.zeros((), jnp.int32),
+                         u_prev=jnp.zeros(2, dtype))
+
+    def solve(self, carry: LMPCCarry, state: jnp.ndarray, target: jnp.ndarray,
+              pvec: jnp.ndarray, weights: LMPCWeights = LMPC_DEFAULT_WEIGHTS):
+        aux = LMPCAux(target=target, Q=weights.Q, R=weights.R, Qt=weights.Qt)
+        z0 = jnp.concatenate([state, carry.u_prev])
+        sol = ilqr.solve(self.ocp, self.cfg, pvec, aux, z0, carry.V)
+        u = sol.V[0]
+        new_carry = LMPCCarry(V=_shift(sol.V), U_plan=sol.V,
+                              plan_idx=jnp.ones((), jnp.int32), u_prev=u)
+        return new_carry, u, _diag(sol)
+
+    def shift_plan(self, carry: LMPCCarry):
+        """Reuse the stale plan when the solver "missed its deadline".
+
+        Receding-horizon plan-shift semantics of `rlmpc2.py:1013-1018`:
+        advance one step into the cached plan, holding the last entry.
+        """
+        idx = jnp.minimum(carry.plan_idx, self.N - 1)
+        u = carry.U_plan[idx]
+        new_carry = carry._replace(plan_idx=idx + 1, u_prev=u)
+        return new_carry, u

@@ -121,6 +121,57 @@ def make_rmpc_ocp(dt: float = 0.002, u_bound: float = 0.4,
     )
 
 
+def make_rmpc_ocp_du(dt: float = 0.002, u_bound: float = 0.4,
+                     du_bound: float = 0.05, vmax: float = 0.25) -> OCPDef:
+    """Slew-exact RMPC formulation (the recommended real-time mode).
+
+    The decision variable is the tilt *increment* v = du with box bounds
+    (+-du_bound), handled exactly by the DDP box QP; the applied tilt is
+    u = clip(u_prev + v, +-u_bound), hard by construction. This upgrades the
+    reference's soft IPOPT slew constraints (`np_mpc...py:113-121`) to a
+    deterministic guarantee: even when transient RLS estimates make the
+    velocity-capped NLP near-infeasible, the commanded tilt sequence can
+    never jump faster than the actuator layer can track. Velocity caps stay
+    as augmented-Lagrangian constraints (best-effort, as in the reference).
+    """
+    step_x = dyn.discretize(dyn.rmpc_dynamics, dt)
+
+    def u_of(z, v):
+        return jnp.clip(z[4:6] + v, -u_bound, u_bound)
+
+    def step(z, v, p):
+        u = u_of(z, v)
+        xn = step_x(z[:4], u, p)
+        return jnp.concatenate([xn, u])
+
+    def stage_cost(z, v, k, aux: RMPCAux):
+        r = aux.ref[k]
+        u = u_of(z, v)
+        pos_err = jnp.stack([z[0] - r[0], z[2] - r[2]])
+        vel_err = jnp.stack([z[1] - r[1], z[3] - r[3]])
+        return (aux.Qp * jnp.sum(pos_err**2) + aux.Qv * jnp.sum(vel_err**2)
+                + aux.Ru * jnp.sum(u**2) + aux.Rdu * jnp.sum(v**2))
+
+    def term_cost(z, aux: RMPCAux):
+        r = aux.ref[-1]
+        pos_err = jnp.stack([z[0] - r[0], z[2] - r[2]])
+        vel_err = jnp.stack([z[1] - r[1], z[3] - r[3]])
+        return aux.Qp * jnp.sum(pos_err**2) + aux.Qv * jnp.sum(vel_err**2)
+
+    def constraints(z, v, k, aux: RMPCAux):
+        return jnp.stack([z[1] - vmax, -z[1] - vmax, z[3] - vmax, -z[3] - vmax])
+
+    return OCPDef(
+        step=step,
+        stage_cost=stage_cost,
+        term_cost=term_cost,
+        u_lo=(-du_bound, -du_bound),
+        u_hi=(du_bound, du_bound),
+        constraints=constraints,
+        n_con=4,
+    )
+
+
 # --------------------------------------------------------------------------
 # LMPC
 # --------------------------------------------------------------------------
