@@ -92,16 +92,12 @@ def tray_gravity(theta: jnp.ndarray):
     return gt, gn
 
 
-def step(s: TrayObjectState, u_cmd: jnp.ndarray, params: TrayObjectParams,
-         dt: float) -> TrayObjectState:
-    """One semi-implicit Euler step at the 2 ms sim cadence."""
-    # Tray tilt tracks the command through a critically-damped 2nd-order lag
-    # (the closed-loop arm-impedance response).
-    th_dd = params.omega_n ** 2 * (u_cmd - s.theta) \
-        - 2.0 * params.zeta * params.omega_n * s.theta_dot
-    theta_dot = s.theta_dot + dt * th_dd
-    theta = s.theta + dt * theta_dot
-
+def step_object(s: TrayObjectState, theta: jnp.ndarray,
+                theta_dot: jnp.ndarray, params: TrayObjectParams,
+                dt: float) -> TrayObjectState:
+    """Object friction/rolling update given the actual tray tilt (used both
+    by the lag-model tray below and by the full arm-driven stack, where the
+    tilt comes from the simulated dual-arm grasp)."""
     gt, gn = tray_gravity(theta)
     slip = s.v - s.v_roll
     a_f = -params.mu * gn * jnp.tanh(slip / params.slip_eps)
@@ -113,6 +109,18 @@ def step(s: TrayObjectState, u_cmd: jnp.ndarray, params: TrayObjectParams,
     p = s.p + dt * v
     return TrayObjectState(theta=theta, theta_dot=theta_dot, p=p, v=v,
                            v_roll=v_roll)
+
+
+def step(s: TrayObjectState, u_cmd: jnp.ndarray, params: TrayObjectParams,
+         dt: float) -> TrayObjectState:
+    """One semi-implicit Euler step at the 2 ms sim cadence."""
+    # Tray tilt tracks the command through a critically-damped 2nd-order lag
+    # (the closed-loop arm-impedance response).
+    th_dd = params.omega_n ** 2 * (u_cmd - s.theta) \
+        - 2.0 * params.zeta * params.omega_n * s.theta_dot
+    theta_dot = s.theta_dot + dt * th_dd
+    theta = s.theta + dt * theta_dot
+    return step_object(s, theta, theta_dot, params, dt)
 
 
 def observe_world(s: TrayObjectState, params: TrayObjectParams,

@@ -47,6 +47,19 @@ def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return v + 2.0 * (w * uv + jnp.cross(u, uv))
 
 
+def matrix_to_quat(R: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Rotation matrix -> scalar-first unit quaternion (trace method with a
+    positive-trace guard; adequate away from pi rotations, which the tray
+    and EE frames never reach)."""
+    t = jnp.trace(R)
+    w = jnp.sqrt(jnp.maximum(1.0 + t, eps)) / 2.0
+    d = jnp.maximum(4.0 * w, eps)
+    x = (R[2, 1] - R[1, 2]) / d
+    y = (R[0, 2] - R[2, 0]) / d
+    z = (R[1, 0] - R[0, 1]) / d
+    return quat_normalize(jnp.stack([w, x, y, z]))
+
+
 def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     """3x3 rotation matrix from unit quaternion (scalar-first)."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

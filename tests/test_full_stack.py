@@ -1,0 +1,76 @@
+"""End-to-end integration: the complete jitted dual-arm stack.
+
+MPC -> tilt -> DACTL -> 2x impedance QP -> 2x 7-DoF arm dynamics ->
+rigid-grasp tray -> object contact -> observation. Acceptance criterion is
+the reference's: steady-state position error within 1 cm
+(`PMPC/main_parallel.py:64`), with its published accuracy band 1-5 mm
+(`PMPC/README.md:264`)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dart_tpu.control import mpc as mpc_mod
+from dart_tpu.models import dynamics as dyn
+from dart_tpu.physics import tray_object as to_mod
+from dart_tpu.rollout import full_stack as fs
+
+DT = 0.002
+
+
+def test_full_stack_settles_open_loop():
+    """u = 0: arms hold the tray almost level, object stays put."""
+    scene = fs.make_scene(dt=DT, dtype=jnp.float64)
+    obj_params = to_mod.make_params("cube", mass=1.0, mu=0.1,
+                                    dtype=jnp.float64)
+    st = fs.init_full_state(jnp.float64)
+    stepf = jax.jit(lambda s: fs.full_step(scene, s, jnp.zeros(2, jnp.float64),
+                                           obj_params, DT, qp_iters=40))
+    for _ in range(800):
+        st = stepf(st)
+    assert float(jnp.max(jnp.abs(st.obj.theta))) < 0.02
+    assert float(jnp.max(jnp.abs(st.obj.p))) < 0.005
+    assert float(jnp.max(jnp.abs(st.qdL))) < 0.1
+
+
+def test_full_stack_tilt_command_tracks():
+    """A held tilt command is realised by the arms within ~20%."""
+    scene = fs.make_scene(dt=DT, dtype=jnp.float64)
+    obj_params = to_mod.make_params("cube", mass=1.0, mu=0.2,
+                                    dtype=jnp.float64)
+    st = fs.init_full_state(jnp.float64)
+    step0 = jax.jit(lambda s: fs.full_step(scene, s, jnp.zeros(2, jnp.float64),
+                                           obj_params, DT, qp_iters=40))
+    for _ in range(600):
+        st = step0(st)
+    u = jnp.asarray([0.15, 0.0], jnp.float64)
+    step1 = jax.jit(lambda s: fs.full_step(scene, s, u, obj_params, DT,
+                                           qp_iters=40))
+    for _ in range(600):
+        st = step1(st)
+    assert float(st.obj.theta[0]) > 0.1  # structural (height-difference) axis
+
+
+def test_full_stack_pmpc_closed_loop_reaches_target():
+    """The flagship end-to-end: PMPC through the full physics stack."""
+    scene = fs.make_scene(dt=DT, dtype=jnp.float64)
+    obj_params = to_mod.make_params("cube", mass=1.0, mu=0.1,
+                                    dtype=jnp.float64)
+    ctlr = mpc_mod.PMPC(N=15, dt=DT * 5, u_bound=0.6,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=10))
+    weights = mpc_mod.PMPC_WEIGHTS["cube"]
+    params = dyn.PMPCParams(mu=0.1, dt=DT * 5)
+    target = jnp.asarray([0.05, 0.0, -0.04, 0.0, 0.43, 0.0], jnp.float64)
+
+    def solve_fn(c, obs, t):
+        return ctlr.solve(c, obs, t, params, weights)
+
+    ps, thetas, us, _ = fs.run_full_stack(
+        scene, solve_fn, ctlr.init_carry(jnp.float64),
+        fs.init_full_state(jnp.float64), target, obj_params,
+        n_steps=2500, dt=DT, control_every=5, warmup_steps=250, qp_iters=40)
+    err = np.linalg.norm(np.asarray(ps) - np.array([0.05, -0.04]), axis=1)
+    assert err[-1] < 0.005, f"final error {err[-1]:.4f} m"
+    assert np.all(np.abs(np.asarray(us)) <= 0.6 + 1e-9)
+    # Tilt commands actually moved the tray.
+    assert float(np.abs(np.asarray(thetas)).max()) > 0.02
