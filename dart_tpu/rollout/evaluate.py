@@ -1,0 +1,105 @@
+"""Scenario evaluation: closed-loop MPC vs the contact-plant oracle.
+
+One function = one scenario episode (vmappable); `dart_tpu.parallel.sweep`
+shards batches of these over a device mesh. Mirrors the reference's
+experiment drivers (`main_parallel_enhanced.py`, `rob_ctrl.py`): settle,
+control at the MPC rate, measure steady-state error / convergence time /
+control effort (`logger.py:154-176`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dart_tpu.control import mpc as mpc_mod
+from dart_tpu.models import dynamics as dyn
+from dart_tpu.physics import tray_object as to_mod
+from dart_tpu.rollout.metrics import Metrics, compute_metrics
+
+
+class PMPCScenarioResult(NamedTuple):
+    metrics: Metrics
+    final_p: jnp.ndarray
+
+
+def _select_weights(shape_id, dtype):
+    """Per-object weight tables (`PMPC/main_parallel.py:107-135`)."""
+    tab = jnp.asarray([
+        [600.0, 5.0, 0.1],    # cube
+        [400.0, 2.5, 0.2],    # cylinder
+        [200.0, 2.0, 0.2],    # sphere
+    ], dtype)
+    row = tab[shape_id]
+    return mpc_mod.PMPCWeights(Qp=row[0], Qv=row[1], R=row[2])
+
+
+def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
+                        control_every: int = 5, warmup_steps: int = 250,
+                        N: int = 15, u_bound: float = 0.6,
+                        max_iters: int = 10, tol: float = 0.01):
+    """Build a jittable (scenario -> metrics) evaluator.
+
+    The MPC runs at dt*control_every (10 ms ~ the reference's ~100 Hz
+    parallel solve rate); the plant at the 2 ms sim cadence with the tray
+    tracking lag standing in for the dual-arm layer (use
+    `rollout.full_stack` for arm-in-the-loop fidelity runs).
+    """
+    ctrl_dt = dt * control_every
+    ctlr = mpc_mod.PMPC(N=N, dt=ctrl_dt, u_bound=u_bound,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
+
+    def evaluate(shape_kappa_inv, mass, mu, target_xy,
+                 assumed_mu=None) -> PMPCScenarioResult:
+        dtype = mass.dtype
+        obj_params = to_mod.TrayObjectParams(
+            mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
+            slip_eps=jnp.asarray(2e-3, dtype),
+            omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
+            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype))
+        # The analytic MPC model assumes the commanded friction (the driver
+        # passes --friction straight to the model, `main_parallel.py:109`).
+        model_mu = mu if assumed_mu is None else assumed_mu
+        params = dyn.PMPCParams(mu=model_mu, dt=ctrl_dt)
+        # Shape-dependent weights: blended via the rolling factor is not
+        # needed — select by kappa signature (cube (0,0), cyl (2,0), sph).
+        shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
+                             jnp.where(shape_kappa_inv[0] > 0, 1, 0))
+        weights = _select_weights(shape_id, dtype)
+        target6 = jnp.asarray(
+            [target_xy[0], 0.0, target_xy[1], 0.0, 0.43, 0.0], dtype)
+
+        def stepf(carry, k):
+            ctrl_carry, s, u_held = carry
+            pos, vel = to_mod.observe_world(s, obj_params)
+            obs = jnp.stack([pos[0], vel[0], pos[1], vel[1], pos[2], vel[2]])
+            do_solve = (k >= warmup_steps) & \
+                ((k - warmup_steps) % control_every == 0)
+
+            def s_branch(c):
+                c2, u, _ = ctlr.solve(c, obs, target6, params, weights)
+                return c2, u
+
+            def h_branch(c):
+                return c, u_held
+
+            ctrl_carry, u = jax.lax.cond(do_solve, s_branch, h_branch,
+                                         ctrl_carry)
+            u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
+            s = to_mod.step(s, u_apply, obj_params, dt)
+            return (ctrl_carry, s, u), (s.p, u_apply)
+
+        s0 = to_mod.init_state(dtype=dtype)
+        (_, s_fin, _), (ps, us) = jax.lax.scan(
+            stepf, (ctlr.init_carry(dtype), s0, jnp.zeros(2, dtype)),
+            jnp.arange(n_steps))
+        # Metrics in tray-frame positions (X layout [px, _, py, _]).
+        X = jnp.stack([ps[:, 0], jnp.zeros_like(ps[:, 0]),
+                       ps[:, 1], jnp.zeros_like(ps[:, 1])], axis=-1)
+        m = compute_metrics(X, us, target_xy, dt, tol=tol)
+        return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
+
+    return evaluate
