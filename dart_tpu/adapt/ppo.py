@@ -271,7 +271,7 @@ def ppo_update(params, opt_state, model: ActorCritic, tx, batch: Batch,
     ret = batch.returns
     ret = (ret - ret.mean()) / (ret.std() + 1e-8)
     batch = batch._replace(advantages=adv, returns=ret)
-    mb = cfg.minibatch_size
+    mb = min(cfg.minibatch_size, T)
     n_mb = max(T // mb, 1)
 
     grad_fn = jax.grad(ppo_loss, has_aux=True)

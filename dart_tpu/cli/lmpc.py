@@ -1,0 +1,105 @@
+"""LMPC train/eval driver — the `LMPC/src/run.py` equivalent.
+
+    python -m dart_tpu.cli.lmpc --train --updates 20 --envs 8 \
+        --checkpoint_dir checkpoints/general
+    python -m dart_tpu.cli.lmpc --test --checkpoint_dir checkpoints/general
+
+Training runs the fully-jitted MPC-in-the-loop PPO (domain randomisation
+over the plant's 34 physical parameters replaces the MjSpec recompile of
+`run.py:204-241`); gradients data-parallelise over all local devices.
+"""
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--updates", type=int, default=10,
+                   help="number of PPO train steps (train mode)")
+    p.add_argument("--envs", type=int, default=8)
+    p.add_argument("--rollout_len", type=int, default=128)
+    p.add_argument("--mpc_horizon", type=int, default=12)
+    p.add_argument("--checkpoint_dir", default="checkpoints/general")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_episode_steps", type=int, default=2000)
+    args = p.parse_args(argv)
+    assert not (args.train and args.test), "choose either --train or --test"
+    training = args.train or not args.test
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dart_tpu.adapt import lmpc_trainer as trainer
+    from dart_tpu.adapt import ppo as ppo_mod
+    from dart_tpu.control import mpc as mpc_mod
+    from dart_tpu.io import checkpoint as ckpt
+    from dart_tpu.utils.timing import Stopwatch
+
+    ctlr = mpc_mod.LMPC(N=args.mpc_horizon, dt=0.01,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=6))
+    env_cfg = trainer.EnvConfig(dt=0.01, max_episode_steps=1024)
+    ppo_cfg = ppo_mod.PPOConfig(epochs=4, minibatch_size=64)
+    model = ppo_mod.ActorCritic(act_dim=trainer.N_PARAMS)
+    train_step, tx = trainer.make_train_step(model, ctlr, env_cfg, ppo_cfg,
+                                             rollout_len=args.rollout_len)
+    ts = trainer.init_train_state(jax.random.PRNGKey(args.seed), model, tx)
+
+    if training:
+        env_states = jax.vmap(
+            lambda r: trainer.env_init(r, ctlr, env_cfg))(
+                jax.random.split(jax.random.PRNGKey(args.seed + 1), args.envs))
+        jitted = jax.jit(train_step)
+        mgr = ckpt.CheckpointManager(args.checkpoint_dir)
+        watch = Stopwatch()
+        history = []
+        for step in range(args.updates):
+            with watch.measure("train_step"):
+                ts, env_states, stats = jitted(ts, env_states)
+                jax.block_until_ready(ts.params)
+            rew = float(stats["mean_reward"])
+            history.append(rew)
+            mgr.on_episode_end(ts.params, ts.opt_state, step, rew)
+            print(json.dumps({"update": step, "mean_reward": round(rew, 3),
+                              "policy_loss": round(float(stats["policy_loss"]), 4),
+                              "value_loss": round(float(stats["value_loss"]), 4)}))
+        print(json.dumps({"done": True, "updates": args.updates,
+                          "reward_first": round(history[0], 3),
+                          "reward_last": round(history[-1], 3),
+                          "timing": watch.summary()["train_step"]}))
+        return 0
+
+    # --- eval: load best policy, run episodes with deterministic actions
+    restored = ckpt.load_agent(args.checkpoint_dir, "best_agent",
+                               template={"params": ts.params,
+                                         "opt_state": ts.opt_state,
+                                         "episode": np.asarray(0),
+                                         "return": np.asarray(0.0)})
+    if restored is None:
+        print(json.dumps({"error": "no checkpoint found; run --train first "
+                          "(reference falls back to training, rlmpc2.py:574)"}))
+        return 1
+    params = restored["params"]
+
+    env_states = jax.vmap(
+        lambda r: trainer.env_init(r, ctlr, env_cfg))(
+            jax.random.split(jax.random.PRNGKey(args.seed + 2), args.envs))
+
+    def eval_rollout(s):
+        return trainer.collect_rollout(params, model, ctlr, s, env_cfg,
+                                       args.eval_episode_steps)
+
+    _, traj, _ = jax.jit(jax.vmap(eval_rollout))(env_states)
+    print(json.dumps({
+        "episodes": args.envs,
+        "mean_reward": round(float(traj.reward.mean()), 3),
+        "mean_done_rate": round(float(traj.done.mean()), 5),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,71 @@
+"""18-config evaluation sweep over the device mesh — the batched equivalent
+of running `PMPC/launch.sh` over every world_*.xml variant.
+
+    python -m dart_tpu.cli.sweep --targets 0.05,-0.04 0.08,0.06 --runtime 5
+"""
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--targets", nargs="+", default=["0.05,-0.04"],
+                   help="comma-separated xy pairs")
+    p.add_argument("--runtime", type=float, default=5.0)
+    p.add_argument("--tolerance", type=float, default=0.01)
+    p.add_argument("--controller", default="pmpc", choices=["pmpc", "rmpc"])
+    p.add_argument("--f64", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    from dart_tpu.io import scenes
+    from dart_tpu.parallel import sweep as sweep_mod
+    from dart_tpu.rollout.evaluate import (make_pmpc_evaluator,
+                                           make_rmpc_evaluator)
+
+    targets = tuple(tuple(float(x) for x in t.split(",")) for t in args.targets)
+    dt = 0.002
+    n_steps = int(args.runtime / dt)
+    maker = (make_pmpc_evaluator if args.controller == "pmpc"
+             else make_rmpc_evaluator)
+    ev = maker(n_steps=n_steps, dt=dt, control_every=5, warmup_steps=250,
+               tol=args.tolerance)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    batch = scenes.sweep_grid(targets=targets, dtype=dtype)
+    mesh = sweep_mod.make_mesh()
+    res, agg = sweep_mod.run_sweep(ev, batch, mesh)
+
+    rows = []
+    from dart_tpu.physics.tray_object import SHAPES
+    for i in range(batch.size):
+        rows.append({
+            "object": SHAPES[int(batch.shape_id[i])],
+            "mass": float(batch.mass[i]),
+            "mu": float(batch.mu[i]),
+            "target": [float(x) for x in batch.target_xy[i]],
+            "converged": bool(res.metrics.converged[i]),
+            "sse_mm": round(float(res.metrics.steady_state_error[i]) * 1e3, 2),
+            "conv_time_s": round(float(res.metrics.convergence_time[i]), 3),
+            "effort": round(float(res.metrics.control_effort[i]), 4),
+        })
+    summary = {
+        "controller": args.controller,
+        "n": int(float(agg.n)),
+        "success_rate": float(agg.n_converged) / float(agg.n),
+        "mean_sse_mm": round(float(agg.mean_sse) * 1e3, 3),
+        "mean_conv_time_s": round(float(agg.mean_conv_time), 3),
+        "mean_effort": round(float(agg.mean_effort), 4),
+        "devices": len(jax.devices()),
+    }
+    print(json.dumps({"summary": summary, "scenarios": rows}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -103,3 +103,68 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
         return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
 
     return evaluate
+
+
+def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
+                        control_every: int = 5, warmup_steps: int = 250,
+                        N: int = 20, max_iters: int = 10, tol: float = 0.01,
+                        trace: bool = False):
+    """RMPC (RLS-adaptive) scenario evaluator vs the contact plant — the
+    closed-loop analogue of `rob_ctrl.py:331-416` with the RLS update,
+    reference governor and staged reference inside the jitted loop.
+
+    With `trace=True` also returns the (T, ...) trajectories of controls,
+    positions and the RLS estimate, for the episode-JSON logs.
+    """
+    ctrl_dt = dt * control_every
+    ctlr = mpc_mod.RMPC(N=N, dt=ctrl_dt,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters,
+                                                    al_iters=3))
+
+    def evaluate(shape_kappa_inv, mass, mu, target_xy):
+        dtype = mass.dtype
+        obj_params = to_mod.TrayObjectParams(
+            mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
+            slip_eps=jnp.asarray(2e-3, dtype),
+            omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
+            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype))
+        target4 = jnp.asarray([target_xy[0], 0.0, target_xy[1], 0.0], dtype)
+
+        def observe(s):
+            pos, vel = to_mod.observe_world(s, obj_params)
+            return jnp.stack([pos[0], vel[0], pos[1], vel[1]])
+
+        def stepf(carry, k):
+            ctrl_carry, s, u_held = carry
+            obs = observe(s)
+            do_solve = (k >= warmup_steps) & \
+                ((k - warmup_steps) % control_every == 0)
+
+            def s_branch(c):
+                c2, u, _ = ctlr.solve(c, obs, target4)
+                return c2, u
+
+            def h_branch(c):
+                return c, u_held
+
+            ctrl_carry, u = jax.lax.cond(do_solve, s_branch, h_branch,
+                                         ctrl_carry)
+            u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
+            s = to_mod.step(s, u_apply, obj_params, dt)
+            theta = jnp.concatenate([ctrl_carry.rls_x.theta,
+                                     ctrl_carry.rls_y.theta])
+            return (ctrl_carry, s, u), (s.p, u_apply, theta)
+
+        s0 = to_mod.init_state(dtype=dtype)
+        carry0 = ctlr.init_carry(observe(s0), dtype)
+        (_, s_fin, _), (ps, us, thetas) = jax.lax.scan(
+            stepf, (carry0, s0, jnp.zeros(2, dtype)), jnp.arange(n_steps))
+        X = jnp.stack([ps[:, 0], jnp.zeros_like(ps[:, 0]),
+                       ps[:, 1], jnp.zeros_like(ps[:, 1])], axis=-1)
+        m = compute_metrics(X, us, target_xy, dt, tol=tol)
+        if trace:
+            return PMPCScenarioResult(metrics=m, final_p=s_fin.p), \
+                (ps, us, thetas)
+        return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
+
+    return evaluate
