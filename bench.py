@@ -31,7 +31,7 @@ def main():
     B = 1024       # scenario batch per chip
     T = 50         # closed-loop steps (solves) per scenario
 
-    ctlr = mpc_mod.PMPC(N=N, dt=DT, cfg=mpc_mod.ilqr.ILQRConfig(max_iters=10))
+    ctlr = mpc_mod.PMPC(N=N, dt=DT, cfg=mpc_mod.ilqr.ILQRConfig(max_iters=4))
     weights = mpc_mod.PMPC_WEIGHTS["general"]
     rng = np.random.default_rng(0)
     targets = jnp.asarray(

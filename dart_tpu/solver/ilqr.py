@@ -67,6 +67,11 @@ class ILQRConfig(NamedTuple):
     reg_up: float = 8.0
     reg_down: float = 0.25
     n_alphas: int = 11           # line-search resolution (0.6^k)
+    # "backtrack": sequential trials, stop at first improvement (fast path —
+    # warm-started receding-horizon solves accept alpha=1 almost always).
+    # "parallel": evaluate all alphas at once and take the best (more robust
+    # from cold starts; used by default in the AL outer loop's first round).
+    linesearch: str = "backtrack"
 
 
 class ILQRSolution(NamedTuple):
@@ -210,19 +215,46 @@ def _ilqr_inner(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0, V0, lam, mu):
         _, _, _, _, it, done, _, _ = carry
         return (it < cfg.max_iters) & (~done)
 
+    def linesearch_parallel(Z, V, D, Ks, cost):
+        Zc, Vc, costs = jax.vmap(
+            lambda a: _forward(ocp, params, aux, Z, V, D, Ks, lam, mu, a,
+                               u_lo, u_hi)
+        )(alphas)
+        best = jnp.argmin(costs)
+        return Zc[best], Vc[best], costs[best]
+
+    def linesearch_backtrack(Z, V, D, Ks, cost):
+        def cond(c):
+            i, accepted, _, _, _ = c
+            return (i < cfg.n_alphas) & (~accepted)
+
+        def body(c):
+            i, _, Zb, Vb, cb = c
+            Zc, Vc, cost_c = _forward(ocp, params, aux, Z, V, D, Ks, lam, mu,
+                                      alphas[i], u_lo, u_hi)
+            accept = cost_c < cost - 1e-12
+            Zb = jnp.where(accept, Zc, Zb)
+            Vb = jnp.where(accept, Vc, Vb)
+            cb = jnp.where(accept, cost_c, cb)
+            return (i + 1, accept, Zb, Vb, cb)
+
+        _, _, Zb, Vb, cb = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                         Z, V, cost))
+        return Zb, Vb, cb
+
+    ls = (linesearch_backtrack if cfg.linesearch == "backtrack"
+          else linesearch_parallel)
+
     def body(carry):
         Z, V, K_prev, cost, it, _, reg, gnorm = carry
         derivs = _linearize(ocp, params, aux, Z, V, lam, mu)
         D, Ks, dV1, dV2 = _backward(derivs, V, u_lo, u_hi, reg)
 
-        Zc, Vc, costs = jax.vmap(
-            lambda a: _forward(ocp, params, aux, Z, V, D, Ks, lam, mu, a, u_lo, u_hi)
-        )(alphas)
-        best = jnp.argmin(costs)
-        cost_new = costs[best]
+        Z_best, V_best, cost_new = ls(Z, V, D, Ks, cost)
         improved = cost_new < cost - 1e-12
-        Z_n = jnp.where(improved, Zc[best], Z)
-        V_n = jnp.where(improved, Vc[best], V)
+        Z_n = jnp.where(improved, Z_best, Z)
+        V_n = jnp.where(improved, V_best, V)
         K_n = jnp.where(improved, Ks, K_prev)
         reg_n = jnp.where(
             improved,
