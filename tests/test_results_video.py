@@ -1,0 +1,64 @@
+import numpy as np
+
+from dart_tpu.io.logging import EpisodicNpy
+from dart_tpu.io import results as res_mod
+from dart_tpu.io.video import VideoWriterThread, render_topdown, save_episode_video
+
+
+def test_env_name_roundtrip():
+    n = res_mod.env_name("sphere", 0.2, 0.1)
+    assert n == "sphere_0x2_0x1"
+    obj, m, f = res_mod.parse_env_name(n)
+    assert (obj, m, f) == ("sphere", 0.2, 0.1)
+
+
+def test_episode_stats_and_plot(tmp_path):
+    store = EpisodicNpy(str(tmp_path / "cube_1x0_0x1.npy"))
+    for ep in range(3):
+        for k in range(10):
+            store.log("pos_error", 0.1 / (ep + 1) - 0.005 * k)
+        store.save()
+    stats = res_mod.episode_stats(store, "pos_error")
+    assert stats["episodes"] == 3
+    assert stats["lowest"].shape == (3,)
+    assert stats["lowest"][2] < stats["lowest"][0]
+    out = res_mod.plot_metric({"cube": store}, "pos_error",
+                              str(tmp_path / "plots" / "pos_error.png"))
+    import os
+    assert os.path.exists(out)
+
+
+def test_summarize_sweep():
+    rows = [
+        {"object": "cube", "converged": True, "sse_mm": 1.0,
+         "conv_time_s": 0.5, "effort": 0.2},
+        {"object": "cube", "converged": False, "sse_mm": 20.0,
+         "conv_time_s": float("inf"), "effort": 0.9},
+        {"object": "sphere", "converged": True, "sse_mm": 2.0,
+         "conv_time_s": 0.7, "effort": 0.1},
+    ]
+    s = res_mod.summarize_sweep(rows)
+    assert s["cube"]["success_rate"] == 0.5
+    assert s["cube"]["mean_conv_time_s"] == 0.5
+    assert s["sphere"]["success_rate"] == 1.0
+
+
+def test_render_and_encode_video(tmp_path):
+    T = 100
+    ps = np.stack([np.linspace(0, 0.05, T), np.linspace(0, -0.04, T)], -1)
+    thetas = np.tile([0.1, -0.05], (T, 1))
+    path = str(tmp_path / "ep.mp4")
+    n = save_episode_video(path, ps, thetas, (0.05, -0.04), every=25)
+    assert n == 4
+    import os
+    assert os.path.getsize(path) > 0
+
+
+def test_video_writer_thread_sentinel(tmp_path):
+    w = VideoWriterThread(str(tmp_path / "t.mp4"), fps=10)
+    frame = np.zeros((32, 32, 3), np.uint8)
+    for _ in range(3):
+        w.write(frame)
+    w.close()
+    assert w.frames_written == 3
+    assert not w.thread.is_alive()
