@@ -177,19 +177,37 @@ def observe_object(state: FullState, obj_params: to_mod.TrayObjectParams):
     return jnp.stack([pos[0], vel[0], pos[1], vel[1], pos[2], vel[2]])
 
 
+def observe_object_4(state: FullState, obj_params: to_mod.TrayObjectParams):
+    """[px, vx, py, vy] for the RMPC front-end (`np_mpc...py:195-198`)."""
+    pos, vel = to_mod.observe_world(state.obj, obj_params)
+    return jnp.stack([pos[0], vel[0], pos[1], vel[1]])
+
+
+def observe_object_8(state: FullState, obj_params: to_mod.TrayObjectParams):
+    """8-state [px,vx,py,vy,th_x,om_x,th_y,om_y] for the LMPC front-end
+    (`rlmpc2.py:1034-1042`): the object rides the tray, so its roll/pitch are
+    the tray's euler angles (e_x = tilt about x = theta[1], e_y = -theta[0])."""
+    pos, vel = to_mod.observe_world(state.obj, obj_params)
+    th = state.obj.theta
+    thd = state.obj.theta_dot
+    return jnp.stack([pos[0], vel[0], pos[1], vel[1],
+                      th[1], thd[1], -th[0], -thd[0]])
+
+
 @partial(jax.jit, static_argnames=("solve_fn", "n_steps", "control_every",
-                                   "warmup_steps", "qp_iters"))
+                                   "warmup_steps", "qp_iters", "observe"))
 def run_full_stack(scene: DualArmScene, solve_fn: Callable, ctrl_carry0: Any,
                    state0: FullState, target: jnp.ndarray,
                    obj_params: to_mod.TrayObjectParams, n_steps: int,
                    dt: float = 0.002, control_every: int = 1,
-                   warmup_steps: int = 0, qp_iters: int = 60):
+                   warmup_steps: int = 0, qp_iters: int = 60,
+                   observe: Callable = observe_object):
     """Closed loop over the full stack. solve_fn(carry, obs, target) ->
     (carry, u, diag). Returns stacked (obj states, controls, final state)."""
 
     def stepf(carry, k):
         ctrl_carry, st, u_held = carry
-        obs = observe_object(st, obj_params)
+        obs = observe(st, obj_params)
         do_solve = (k >= warmup_steps) & ((k - warmup_steps) % control_every == 0)
 
         def s_branch(c):

@@ -51,6 +51,61 @@ def test_full_stack_tilt_command_tracks():
     assert float(st.obj.theta[0]) > 0.1  # structural (height-difference) axis
 
 
+def test_full_stack_rmpc_closed_loop():
+    """RMPC (RLS + governor + slew-exact solver) through the arm stack."""
+    import numpy as np
+    scene = fs.make_scene(dt=DT, dtype=jnp.float64)
+    obj_params = to_mod.make_params("cube", mass=2.0, mu=0.2,
+                                    dtype=jnp.float64)
+    ctlr = mpc_mod.RMPC(N=20, dt=DT * 5,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=8, al_iters=3))
+    target4 = jnp.asarray([0.05, 0.0, -0.04, 0.0], jnp.float64)
+
+    def solve_fn(c, obs, t):
+        return ctlr.solve(c, obs, t)
+
+    carry0 = ctlr.init_carry(jnp.zeros(4, jnp.float64), jnp.float64)
+    ps, thetas, us, _ = fs.run_full_stack(
+        scene, solve_fn, carry0, fs.init_full_state(jnp.float64), target4,
+        obj_params, n_steps=2500, dt=DT, control_every=5, warmup_steps=250,
+        qp_iters=40, observe=fs.observe_object_4)
+    err = np.linalg.norm(np.asarray(ps) - np.array([0.05, -0.04]), axis=1)
+    assert err[-1] < 0.015, f"final error {err[-1]:.4f} m"
+    # Slew-rate bound holds exactly through the whole loop.
+    dU = np.abs(np.diff(np.asarray(us), axis=0)).max()
+    assert dU <= 0.05 + 1e-9
+
+
+def test_full_stack_lmpc_closed_loop():
+    """LMPC (34-param model, sign-flip convention of run.py:257)."""
+    import numpy as np
+    scene = fs.make_scene(dt=DT, dtype=jnp.float64)
+    obj_params = to_mod.make_params("cube", mass=1.0, mu=0.1,
+                                    dtype=jnp.float64)
+    ctlr = mpc_mod.LMPC(N=20, dt=DT * 5,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=8))
+    rng = np.random.default_rng(0)
+    pvec = jnp.asarray(rng.uniform(0.05, 0.3, size=34), jnp.float64)
+    pvec = pvec.at[0].set(1.0).at[1].set(1.0).at[6].set(0.98).at[7].set(0.8) \
+        .at[11].set(0.98).at[12].set(0.8).at[4].set(0.0).at[5].set(0.0) \
+        .at[9].set(0.05).at[14].set(0.05).at[10].set(0.01).at[15].set(0.01)
+    target8 = jnp.zeros(8, jnp.float64).at[0].set(0.05).at[2].set(-0.04)
+
+    def solve_fn(c, obs, t):
+        c2, u, d = ctlr.solve(c, obs, t, pvec)
+        return c2, -u, d  # model uses +g, tray convention -g (run.py:257)
+
+    ps, _, _, _ = fs.run_full_stack(
+        scene, solve_fn, ctlr.init_carry(jnp.float64),
+        fs.init_full_state(jnp.float64), target8, obj_params,
+        n_steps=2500, dt=DT, control_every=5, warmup_steps=250,
+        qp_iters=40, observe=fs.observe_object_8)
+    ps = np.asarray(ps)
+    err = np.linalg.norm(ps - np.array([0.05, -0.04]), axis=1)
+    assert np.all(np.isfinite(ps))
+    assert err[-1] < 0.015, f"final error {err[-1]:.4f} m"
+
+
 def test_full_stack_pmpc_closed_loop_reaches_target():
     """The flagship end-to-end: PMPC through the full physics stack."""
     scene = fs.make_scene(dt=DT, dtype=jnp.float64)
