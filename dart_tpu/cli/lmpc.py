@@ -40,7 +40,7 @@ def main(argv=None):
     from dart_tpu.utils.timing import Stopwatch
 
     ctlr = mpc_mod.LMPC(N=args.mpc_horizon, dt=0.01,
-                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=6))
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=4))
     env_cfg = trainer.EnvConfig(dt=0.01, max_episode_steps=1024)
     ppo_cfg = ppo_mod.PPOConfig(epochs=4, minibatch_size=64)
     model = ppo_mod.ActorCritic(act_dim=trainer.N_PARAMS)

@@ -149,7 +149,7 @@ def _backward_kernel(nz, N, A_ref, B_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
                      reg_ref, D_ref, K_ref):
     Vx = gx_ref[...]            # (nz, L)
     Vxx = gxx_ref[...]          # (nz, nz, L)
-    reg = reg_ref[0]
+    reg = reg_ref[0]            # (L,) per-lane regularisation
     u_lo = lo_ref[...]          # (2, L) broadcast bounds
     u_hi = hi_ref[...]
 
@@ -223,7 +223,10 @@ def riccati_backward_pallas(A, B, lx, lu, lxx, lux, luu, gx, gxx, V,
 
     lo_b = jnp.broadcast_to(u_lo[:, None], (2, Bt)).astype(dtype)
     hi_b = jnp.broadcast_to(u_hi[:, None], (2, Bt)).astype(dtype)
-    reg_arr = jnp.asarray([reg], dtype)
+    # reg may be scalar or per-batch (Bt,): always a (1, Bt) lane vector.
+    reg_arr = jnp.broadcast_to(jnp.asarray(reg, dtype).reshape(-1)[None, :]
+                               if jnp.ndim(reg) else
+                               jnp.full((1, Bt), reg, dtype), (1, Bt))
 
     kernel = functools.partial(_backward_kernel, nz, N)
 
@@ -248,7 +251,7 @@ def riccati_backward_pallas(A, B, lx, lu, lxx, lux, luu, gx, gxx, V,
             spec((nz, Bt)), spec((nz, nz, Bt)),
             spec((N, 2, Bt)),
             spec((2, Bt)), spec((2, Bt)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec((1, Bt)),
         ],
         out_specs=[spec((N, 2, Bt)), spec((N, 2, nz, Bt))],
         out_shape=[out_D, out_K],

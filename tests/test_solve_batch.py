@@ -1,0 +1,38 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dart_tpu.models import dynamics as dyn
+from dart_tpu.solver import ilqr
+from dart_tpu.solver.ocp import PMPCAux, make_pmpc_ocp
+
+
+def test_solve_batch_matches_vmap_solve():
+    """Batch-major control flow (per-lane reg/acceptance/convergence) must
+    produce the same first controls as vmapping the per-instance solver."""
+    B, N = 16, 12
+    ocp = make_pmpc_ocp(dt=0.02, u_bound=0.6)
+    cfg = ilqr.ILQRConfig(max_iters=20)
+    rng = np.random.default_rng(0)
+    mus = jnp.asarray(rng.uniform(0.05, 0.2, size=B))
+    targets = jnp.asarray(rng.uniform(-0.1, 0.1, size=(B, 6)) *
+                          np.array([1, 0, 1, 0, 0, 0]))
+    z0 = jnp.asarray(rng.normal(size=(B, 6)) * 0.02)
+    V0 = jnp.zeros((B, N, 2))
+
+    params = dyn.PMPCParams(mu=mus, g=jnp.full(B, -9.81),
+                            dt=jnp.full(B, 0.02))
+    aux = PMPCAux(target=targets, Qp=jnp.full(B, 300.0),
+                  Qv=jnp.full(B, 2.0), R=jnp.full(B, 0.2))
+
+    batched = ilqr.solve_batch(ocp, cfg, params, aux, z0, V0,
+                               use_pallas=False)
+    ref = jax.vmap(lambda p, a, z, v: ilqr.solve(ocp, cfg, p, a, z, v))(
+        params, aux, z0, V0)
+
+    # Both must reach (essentially) the same optimum.
+    assert np.allclose(np.asarray(batched.cost), np.asarray(ref.cost),
+                       rtol=1e-5, atol=1e-8)
+    assert np.allclose(np.asarray(batched.V[:, 0]), np.asarray(ref.V[:, 0]),
+                       atol=5e-5), np.abs(
+        np.asarray(batched.V[:, 0]) - np.asarray(ref.V[:, 0])).max()
