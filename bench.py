@@ -3,8 +3,10 @@
 Reference baseline: the parallel PMPC implementation sustains ~80-100 Hz of
 IPOPT solves on a desktop CPU core (`PMPC/README.md:266`, BASELINE.md). We
 measure the same work — receding-horizon PMPC solves (nx=6, nu=2, N=15,
-Ts=2 ms) inside a closed loop against the analytic plant — as one jitted,
-vmapped program on a single TPU chip.
+Ts=2 ms) inside a closed loop against the analytic plant — on one TPU chip,
+using the production batch-major path (`PMPCBatch`): the Riccati backward
+pass of every iLQR iteration runs as a single fused Pallas kernel across
+the whole scenario batch.
 
 Prints ONE JSON line:
   {"metric": "pmpc_solves_per_sec_per_chip", "value": ..., "unit": "solves/s",
@@ -20,49 +22,60 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compile cache: repeated bench runs skip the large first
+    # compile of the fused closed-loop program.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dart_tpu_jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from dart_tpu.control import mpc as mpc_mod
     from dart_tpu.models import dynamics as dyn
-    from dart_tpu.rollout.loop import run_closed_loop
 
     DT = 0.002     # reference control period (2 ms)
     N = 15         # reference horizon (`PMPC/main_parallel.py:108`)
     B = 1024       # scenario batch per chip
     T = 50         # closed-loop steps (solves) per scenario
 
-    ctlr = mpc_mod.PMPC(N=N, dt=DT, cfg=mpc_mod.ilqr.ILQRConfig(max_iters=4))
+    ctlr = mpc_mod.PMPCBatch(N=N, dt=DT,
+                             cfg=mpc_mod.ilqr.ILQRConfig(max_iters=4))
     weights = mpc_mod.PMPC_WEIGHTS["general"]
     rng = np.random.default_rng(0)
     targets = jnp.asarray(
         rng.uniform(-0.1, 0.1, size=(B, 6)) * np.array([1, 0, 1, 0, 0, 0]),
         jnp.float32)
     mus = jnp.asarray(rng.uniform(0.05, 0.2, size=(B,)), jnp.float32)
+    params = dyn.PMPCParams(mu=mus, dt=DT)
+    plant = dyn.discretize(dyn.pmpc_dynamics, DT)
+    plant_v = jax.vmap(lambda x, u, mu: plant(x, u, dyn.PMPCParams(mu=mu,
+                                                                   dt=DT)))
+
+    @jax.jit
+    def closed_loop(x0, carry):
+        def f(c, _):
+            carry, x = c
+            carry, u, _ = ctlr.solve(carry, x, targets, params, weights)
+            return (carry, plant_v(x, u, mus)), u
+
+        (_, _), us = jax.lax.scan(f, (carry, x0), None, length=T)
+        return us
+
     x0 = jnp.zeros((B, 6), jnp.float32)
-
-    def run_one(mu, target, x0):
-        params = dyn.PMPCParams(mu=mu, dt=DT)
-
-        def solve_fn(carry, obs, t):
-            return ctlr.solve(carry, obs, t, params, weights)
-
-        res = run_closed_loop(solve_fn, dyn.discretize(dyn.pmpc_dynamics, DT),
-                              ctlr.init_carry(jnp.float32), x0, target, params,
-                              n_steps=T)
-        return res.U
-
-    runner = jax.jit(jax.vmap(run_one))
-    U = jax.block_until_ready(runner(mus, targets, x0))  # compile
+    carry0 = ctlr.init_carry(B, jnp.float32)
+    U = jax.block_until_ready(closed_loop(x0, carry0))  # compile
     if not bool(jnp.all(jnp.isfinite(U))):
         print(json.dumps({"metric": "pmpc_solves_per_sec_per_chip",
                           "value": 0.0, "unit": "solves/s",
                           "vs_baseline": 0.0, "error": "non-finite controls"}))
         return 1
 
-    reps = 3
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
-        U = jax.block_until_ready(runner(mus, targets, x0))
+        U = jax.block_until_ready(closed_loop(x0, carry0))
     elapsed = (time.time() - t0) / reps
     solves_per_s = B * T / elapsed
 

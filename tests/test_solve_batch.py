@@ -36,3 +36,30 @@ def test_solve_batch_matches_vmap_solve():
     assert np.allclose(np.asarray(batched.V[:, 0]), np.asarray(ref.V[:, 0]),
                        atol=5e-5), np.abs(
         np.asarray(batched.V[:, 0]) - np.asarray(ref.V[:, 0])).max()
+
+
+def test_pmpc_batch_controller_matches_per_instance():
+    """PMPCBatch.solve (batch-major front-end) == PMPC.solve per lane."""
+    from dart_tpu.control import mpc as mpc_mod
+    B = 4
+    rng = np.random.default_rng(1)
+    cfg = ilqr.ILQRConfig(max_iters=10)
+    bctlr = mpc_mod.PMPCBatch(N=10, dt=0.02, cfg=cfg, use_pallas=False)
+    sctlr = mpc_mod.PMPC(N=10, dt=0.02, cfg=cfg)
+    states = jnp.asarray(rng.normal(size=(B, 6)) * 0.02)
+    targets = jnp.asarray(rng.uniform(-0.08, 0.08, size=(B, 6)) *
+                          np.array([1, 0, 1, 0, 0, 0]))
+    mus = jnp.asarray(rng.uniform(0.05, 0.2, size=B))
+    params = dyn.PMPCParams(mu=mus, dt=0.02)
+    weights = mpc_mod.PMPCWeights(Qp=jnp.full(B, 300.0),
+                                  Qv=jnp.full(B, 2.0), R=jnp.full(B, 0.2))
+    carry = bctlr.init_carry(B, jnp.float64)
+    _, u_batch, _ = bctlr.solve(carry, states, targets, params, weights)
+    for i in range(B):
+        p_i = dyn.PMPCParams(mu=mus[i], dt=0.02)
+        w_i = mpc_mod.PMPCWeights(Qp=weights.Qp[i], Qv=weights.Qv[i],
+                                  R=weights.R[i])
+        _, u_i, _ = sctlr.solve(sctlr.init_carry(jnp.float64), states[i],
+                                targets[i], p_i, w_i)
+        assert np.allclose(np.asarray(u_batch[i]), np.asarray(u_i),
+                           atol=5e-5), i
