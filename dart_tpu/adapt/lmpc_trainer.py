@@ -192,6 +192,34 @@ def collect_rollout(policy_params, model, ctlr, s: LMPCEnvState,
     return s, traj, last_value
 
 
+def eval_rollout(policy_params, model, ctlr, s: LMPCEnvState,
+                 cfg: EnvConfig, T: int):
+    """Deterministic-policy evaluation rollout that records the channels the
+    reference eval driver logs (`run.py:281-287`): pos_error, u_cmd, state.
+    Returns (final env state, dict of (T, ...) trajectories)."""
+
+    def step(s, _):
+        base = jnp.concatenate([s.x, s.target, s.prev_control, s.current_k])
+        welford = ppo_mod.welford_update(s.welford, base)
+        norm = ppo_mod.welford_normalize(welford, base)
+        history = jnp.concatenate([s.history[1:], norm[None]], axis=0)
+        obs = history.reshape(-1)
+        mean, _, _ = model.apply(policy_params, obs)  # deterministic action
+        do_update = (s.episode_step % cfg.param_update_every) == 0
+        k_new = ppo_mod.apply_param_action(s.current_k, mean, cfg.act_cfg)
+        current_k = jnp.where(do_update, k_new, s.current_k)
+        carry, u, _ = ctlr.solve(s.ctrl_carry, s.x, s.target, current_k)
+        x_next = dyn.rk4_step(dyn.lmpc_dynamics, s.x, u, s.pvec_true, cfg.dt)
+        pos_err = jnp.linalg.norm(
+            jnp.stack([s.target[0] - x_next[0], s.target[2] - x_next[2]]))
+        s_next = s._replace(x=x_next, ctrl_carry=carry, current_k=current_k,
+                            welford=welford, history=history, prev_control=u,
+                            episode_step=s.episode_step + 1)
+        return s_next, {"pos_error": pos_err, "u_cmd": u, "state": x_next}
+
+    return jax.lax.scan(step, s, None, length=T)
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any

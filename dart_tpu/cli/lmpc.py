@@ -25,6 +25,7 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default="checkpoints/general")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_episode_steps", type=int, default=2000)
+    p.add_argument("--logdir", default="")
     args = p.parse_args(argv)
     assert not (args.train and args.test), "choose either --train or --test"
     training = args.train or not args.test
@@ -88,15 +89,26 @@ def main(argv=None):
         lambda r: trainer.env_init(r, ctlr, env_cfg))(
             jax.random.split(jax.random.PRNGKey(args.seed + 2), args.envs))
 
-    def eval_rollout(s):
-        return trainer.collect_rollout(params, model, ctlr, s, env_cfg,
-                                       args.eval_episode_steps)
-
-    _, traj, _ = jax.jit(jax.vmap(eval_rollout))(env_states)
+    _, logs = jax.jit(jax.vmap(
+        lambda s: trainer.eval_rollout(params, model, ctlr, s, env_cfg,
+                                       args.eval_episode_steps)))(env_states)
+    pos_err = np.asarray(logs["pos_error"])   # (envs, T)
+    # Episodic log in the reference's .npy schema (`analyitics.py`).
+    if args.logdir:
+        from dart_tpu.io.logging import EpisodicNpy
+        store = EpisodicNpy(f"{args.logdir}_test/general.npy")
+        dtc = env_cfg.dt
+        for e in range(args.envs):
+            store.log("pos_error", pos_err[e])
+            store.log("u_cmd", np.asarray(logs["u_cmd"][e]))
+            store.log("timestep", np.arange(pos_err.shape[1]) * dtc)
+            store.log("state", np.asarray(logs["state"][e]))
+            store.save()
     print(json.dumps({
         "episodes": args.envs,
-        "mean_reward": round(float(traj.reward.mean()), 3),
-        "mean_done_rate": round(float(traj.done.mean()), 5),
+        "mean_final_pos_error": round(float(pos_err[:, -1].mean()), 5),
+        "min_pos_error": round(float(pos_err.min()), 5),
+        "success_rate_1cm": round(float((pos_err[:, -1] < 0.01).mean()), 3),
     }))
     return 0
 
