@@ -14,7 +14,8 @@ def main(argv=None):
                    help="comma-separated xy pairs")
     p.add_argument("--runtime", type=float, default=5.0)
     p.add_argument("--tolerance", type=float, default=0.01)
-    p.add_argument("--controller", default="pmpc", choices=["pmpc", "rmpc"])
+    p.add_argument("--controller", default="pmpc",
+                   choices=["pmpc", "rmpc", "mppi"])
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
 
@@ -26,14 +27,15 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     from dart_tpu.io import scenes
     from dart_tpu.parallel import sweep as sweep_mod
-    from dart_tpu.rollout.evaluate import (make_pmpc_evaluator,
+    from dart_tpu.rollout.evaluate import (make_mppi_evaluator,
+                                           make_pmpc_evaluator,
                                            make_rmpc_evaluator)
 
     targets = tuple(tuple(float(x) for x in t.split(",")) for t in args.targets)
     dt = 0.002
     n_steps = int(args.runtime / dt)
-    maker = (make_pmpc_evaluator if args.controller == "pmpc"
-             else make_rmpc_evaluator)
+    maker = {"pmpc": make_pmpc_evaluator, "rmpc": make_rmpc_evaluator,
+             "mppi": make_mppi_evaluator}[args.controller]
     ev = maker(n_steps=n_steps, dt=dt, control_every=5, warmup_steps=250,
                tol=args.tolerance)
     dtype = jnp.float64 if args.f64 else jnp.float32

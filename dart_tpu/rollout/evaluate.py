@@ -105,6 +105,73 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
     return evaluate
 
 
+def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
+                        control_every: int = 5, warmup_steps: int = 250,
+                        N: int = 15, u_bound: float = 0.6,
+                        n_samples: int = 256, n_iters: int = 2,
+                        tol: float = 0.01, seed: int = 0):
+    """Sampling-MPC (MPPI ensemble) scenario evaluator: the same PMPC OCP
+    solved by parallel rollout ensembles instead of box-DDP — the
+    "MPPI-style rollout ensembles per solve" benchmark mode."""
+    from dart_tpu.solver import mppi as mppi_mod
+    from dart_tpu.solver.ocp import make_pmpc_ocp
+
+    ctrl_dt = dt * control_every
+    ocp = make_pmpc_ocp(dt=ctrl_dt, u_bound=u_bound)
+    cfg = mppi_mod.MPPIConfig(n_samples=n_samples, temperature=0.05,
+                              sigma=0.08, n_iters=n_iters)
+
+    def evaluate(shape_kappa_inv, mass, mu, target_xy):
+        dtype = mass.dtype
+        obj_params = to_mod.TrayObjectParams(
+            mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
+            slip_eps=jnp.asarray(2e-3, dtype),
+            omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
+            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype))
+        params = dyn.PMPCParams(mu=mu, dt=ctrl_dt)
+        shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
+                             jnp.where(shape_kappa_inv[0] > 0, 1, 0))
+        w = _select_weights(shape_id, dtype)
+        from dart_tpu.solver.ocp import PMPCAux
+        aux = PMPCAux(target=jnp.asarray(
+            [target_xy[0], 0.0, target_xy[1], 0.0, 0.43, 0.0], dtype),
+            Qp=w.Qp, Qv=w.Qv, R=w.R)
+
+        def stepf(carry, k):
+            U, key, s, u_held = carry
+            pos, vel = to_mod.observe_world(s, obj_params)
+            obs = jnp.stack([pos[0], vel[0], pos[1], vel[1], pos[2], vel[2]])
+            do_solve = (k >= warmup_steps) & \
+                ((k - warmup_steps) % control_every == 0)
+
+            def s_branch(c):
+                U, key = c
+                key, sub = jax.random.split(key)
+                U_new, _ = mppi_mod.solve(ocp, cfg, params, aux, obs, U, sub)
+                return mppi_mod.shift(U_new), key, U_new[0]
+
+            def h_branch(c):
+                U, key = c
+                return U, key, u_held
+
+            U, key, u = jax.lax.cond(do_solve, s_branch, h_branch, (U, key))
+            u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
+            s = to_mod.step(s, u_apply, obj_params, dt)
+            return (U, key, s, u), (s.p, u_apply)
+
+        s0 = to_mod.init_state(dtype=dtype)
+        key0 = jax.random.PRNGKey(seed)
+        (_, _, s_fin, _), (ps, us) = jax.lax.scan(
+            stepf, (jnp.zeros((N, 2), dtype), key0, s0, jnp.zeros(2, dtype)),
+            jnp.arange(n_steps))
+        X = jnp.stack([ps[:, 0], jnp.zeros_like(ps[:, 0]),
+                       ps[:, 1], jnp.zeros_like(ps[:, 1])], axis=-1)
+        m = compute_metrics(X, us, target_xy, dt, tol=tol)
+        return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
+
+    return evaluate
+
+
 def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
                         control_every: int = 5, warmup_steps: int = 250,
                         N: int = 20, max_iters: int = 10, tol: float = 0.01,
