@@ -286,20 +286,19 @@ def solve_batch(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
     Pallas kernel over the whole batch (`dart_tpu.ops.pallas.riccati`) when
     `use_pallas` and the batch is a multiple of 128 on a TPU backend;
     linearisation and line-search stay vmapped XLA. Per-lane regularisation,
-    acceptance and convergence masks reproduce `solve`'s control flow.
+    acceptance and convergence masks reproduce `solve`'s control flow, and
+    constrained OCPs (n_con > 0) run the augmented-Lagrangian outer loop
+    with per-lane multipliers/penalties.
 
     Args: params/aux batched pytrees, z0 (B, nz), V_init (B, N, nu).
     Returns a batched ILQRSolution (without multiplier info).
     """
-    assert ocp.n_con == 0, "solve_batch covers unconstrained OCPs; " \
-        "use vmap(solve) for AL-constrained variants"
     B, N, nu = V_init.shape
     dtype = V_init.dtype
     u_lo = jnp.asarray(ocp.u_lo, dtype)
     u_hi = jnp.asarray(ocp.u_hi, dtype)
     V = jnp.clip(V_init, u_lo, u_hi)
-    lam1 = jnp.zeros((N, 1), dtype)
-    one = jnp.asarray(1.0, dtype)
+    n_con = max(ocp.n_con, 1)   # placeholder width when unconstrained
 
     pallas_ok = use_pallas and nu == 2 and B % 128 == 0 and \
         jax.default_backend() == "tpu"
@@ -316,12 +315,12 @@ def solve_batch(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
 
     roll_v = jax.vmap(lambda p, z, v: _rollout(ocp, p, z, v),
                       in_axes=(p_ax, 0, 0))
-    cost_v = jax.vmap(lambda p, a, Z, Vv: _total_cost(ocp, p, a, Z, Vv,
-                                                      lam1, one),
-                      in_axes=(p_ax, a_ax, 0, 0))
-    lin_v = jax.vmap(lambda p, a, Z, Vv: _linearize(ocp, p, a, Z, Vv,
-                                                    lam1, one),
-                     in_axes=(p_ax, a_ax, 0, 0))
+    cost_v = jax.vmap(lambda p, a, Z, Vv, lam, mu: _total_cost(
+        ocp, p, a, Z, Vv, lam, mu),
+        in_axes=(p_ax, a_ax, 0, 0, 0, 0))
+    lin_v = jax.vmap(lambda p, a, Z, Vv, lam, mu: _linearize(
+        ocp, p, a, Z, Vv, lam, mu),
+        in_axes=(p_ax, a_ax, 0, 0, 0, 0))
     raw_v = jax.vmap(lambda a, Z, Vv: _raw_cost(ocp, a, Z, Vv),
                      in_axes=(a_ax, 0, 0))
 
@@ -336,67 +335,105 @@ def solve_batch(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
             lambda d, v, r: _backward(d, v, u_lo, u_hi, r))(derivs, V, reg)
         return D, K
 
-    fwd_v = jax.vmap(lambda p, a, Z, Vv, D, K, al: _forward(
-        ocp, p, a, Z, Vv, D, K, lam1, one, al, u_lo, u_hi),
-        in_axes=(p_ax, a_ax, 0, 0, 0, 0, 0))
+    fwd_v = jax.vmap(lambda p, a, Z, Vv, D, K, lam, mu, al: _forward(
+        ocp, p, a, Z, Vv, D, K, lam, mu, al, u_lo, u_hi),
+        in_axes=(p_ax, a_ax, 0, 0, 0, 0, 0, 0, 0))
 
     alphas = jnp.power(0.6, jnp.arange(cfg.n_alphas)).astype(dtype)
 
-    Z0 = roll_v(params, z0, V)
-    cost0 = cost_v(params, aux, Z0, V)
+    def inner(V, lam, mu):
+        """Batched iLQR on the AL objective for fixed (lam, mu)."""
+        Z0 = roll_v(params, z0, V)
+        cost0 = cost_v(params, aux, Z0, V, lam, mu)
 
-    def cond(c):
-        _, _, _, _, it, done, _, _ = c
-        return (it < cfg.max_iters) & (~jnp.all(done))
+        def cond(c):
+            _, _, _, _, it, done, _, _ = c
+            return (it < cfg.max_iters) & (~jnp.all(done))
 
-    def body(c):
-        Z, V, K_prev, cost, it, done, reg, gnorm = c
-        derivs = lin_v(params, aux, Z, V)
-        D, Ks = backward(derivs, V, reg)
+        def body(c):
+            Z, V, K_prev, cost, it, done, reg, gnorm = c
+            derivs = lin_v(params, aux, Z, V, lam, mu)
+            D, Ks = backward(derivs, V, reg)
 
-        # Per-lane backtracking: each lane advances its own alpha index
-        # until it accepts or exhausts the schedule.
-        def ls_cond(s):
-            i, acc, _, _, _ = s
-            return (i < cfg.n_alphas) & (~jnp.all(acc))
+            # Per-lane backtracking: each lane advances its own alpha index
+            # until it accepts or exhausts the schedule.
+            def ls_cond(st):
+                i, acc, _, _, _ = st
+                return (i < cfg.n_alphas) & (~jnp.all(acc))
 
-        def ls_body(s):
-            i, acc, Zb, Vb, cb = s
-            al = jnp.full((B,), alphas[i], dtype)
-            Zc, Vc, cc = fwd_v(params, aux, Z, V, D, Ks, al)
-            newly = (~acc) & (cc < cost - 1e-12)
-            Zb = jnp.where(newly[:, None, None], Zc, Zb)
-            Vb = jnp.where(newly[:, None, None], Vc, Vb)
-            cb = jnp.where(newly, cc, cb)
-            return (i + 1, acc | newly, Zb, Vb, cb)
+            def ls_body(st):
+                i, acc, Zb, Vb, cb = st
+                al = jnp.full((B,), alphas[i], dtype)
+                Zc, Vc, cc = fwd_v(params, aux, Z, V, D, Ks, lam, mu, al)
+                newly = (~acc) & (cc < cost - 1e-12)
+                Zb = jnp.where(newly[:, None, None], Zc, Zb)
+                Vb = jnp.where(newly[:, None, None], Vc, Vb)
+                cb = jnp.where(newly, cc, cb)
+                return (i + 1, acc | newly, Zb, Vb, cb)
 
-        _, improved, Z_b, V_b, cost_new = jax.lax.while_loop(
-            ls_cond, ls_body,
-            (jnp.zeros((), jnp.int32), done, Z, V, cost))
-        improved = improved & (~done)
+            _, improved, Z_b, V_b, cost_new = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.zeros((), jnp.int32), done, Z, V, cost))
+            improved = improved & (~done)
 
-        Z_n = jnp.where(improved[:, None, None], Z_b, Z)
-        V_n = jnp.where(improved[:, None, None], V_b, V)
-        K_n = jnp.where(improved[:, None, None, None], Ks, K_prev)
-        reg_n = jnp.where(improved,
-                          jnp.maximum(reg * cfg.reg_down, cfg.reg_min),
-                          jnp.minimum(reg * cfg.reg_up, cfg.reg_max))
-        gnorm_n = jnp.max(jnp.abs(D), axis=(1, 2))
-        cost_keep = jnp.where(improved, cost_new, cost)
-        rel = (cost - cost_keep) / (jnp.abs(cost) + 1.0)
-        done_n = done | (improved & (rel < cfg.tol_cost)) | \
-            (gnorm_n < cfg.tol_step) | ((~improved) & (reg >= cfg.reg_max))
-        return (Z_n, V_n, K_n, cost_keep, it + 1, done_n, reg_n, gnorm_n)
+            Z_n = jnp.where(improved[:, None, None], Z_b, Z)
+            V_n = jnp.where(improved[:, None, None], V_b, V)
+            K_n = jnp.where(improved[:, None, None, None], Ks, K_prev)
+            reg_n = jnp.where(improved,
+                              jnp.maximum(reg * cfg.reg_down, cfg.reg_min),
+                              jnp.minimum(reg * cfg.reg_up, cfg.reg_max))
+            gnorm_n = jnp.max(jnp.abs(D), axis=(1, 2))
+            cost_keep = jnp.where(improved, cost_new, cost)
+            rel = (cost - cost_keep) / (jnp.abs(cost) + 1.0)
+            done_n = done | (improved & (rel < cfg.tol_cost)) | \
+                (gnorm_n < cfg.tol_step) | ((~improved) & (reg >= cfg.reg_max))
+            return (Z_n, V_n, K_n, cost_keep, it + 1, done_n, reg_n, gnorm_n)
 
-    K0 = jnp.zeros((B, N, nu, Z0.shape[-1]), dtype)
-    init = (Z0, V, K0, cost0, jnp.zeros((), jnp.int32),
-            jnp.zeros((B,), bool), jnp.full((B,), cfg.reg_init, dtype),
-            jnp.full((B,), jnp.inf, dtype))
-    Z, V, K, cost, it, done, reg, gnorm = jax.lax.while_loop(cond, body, init)
+        K0 = jnp.zeros((B, N, nu, Z0.shape[-1]), dtype)
+        init = (Z0, V, K0, cost0, jnp.zeros((), jnp.int32),
+                jnp.zeros((B,), bool), jnp.full((B,), cfg.reg_init, dtype),
+                jnp.full((B,), jnp.inf, dtype))
+        Z, V, K, cost, it, done, reg, gnorm = jax.lax.while_loop(
+            cond, body, init)
+        return Z, V, K, it, gnorm
+
+    if ocp.n_con == 0:
+        lam0 = jnp.zeros((B, N, 1), dtype)
+        mu0 = jnp.ones((B,), dtype)
+        Z, V, K, it, gnorm = inner(V, lam0, mu0)
+        raw = raw_v(aux, Z, V)
+        return ILQRSolution(V=V, Z=Z, K=K, cost=raw,
+                            viol=jnp.zeros((B,), dtype),
+                            iters=jnp.broadcast_to(it, (B,)),
+                            grad_norm=gnorm)
+
+    # Augmented-Lagrangian outer loop, per-lane multipliers/penalties.
+    con_v = jax.vmap(
+        lambda a, Z, Vv: jax.vmap(
+            lambda k, z, v: ocp.constraints(z, v, k, a))(
+                jnp.arange(N), Z[:-1], Vv),
+        in_axes=(a_ax, 0, 0))
+
+    def al_round(carry, _):
+        V, lam, mu, viol_prev, tot_it = carry
+        Z, V_n, K, it, gnorm = inner(V, lam, mu)
+        C = con_v(aux, Z, V_n)                       # (B, N, n_con)
+        lam_n = jnp.maximum(0.0, lam + mu[:, None, None] * C)
+        viol = jnp.max(jnp.maximum(C, 0.0), axis=(1, 2))
+        mu_n = jnp.where(viol > cfg.tol_con,
+                         jnp.minimum(mu * cfg.mu_scale, cfg.mu_max), mu)
+        return (V_n, lam_n, mu_n, viol, tot_it + it), (Z, K, gnorm)
+
+    lam0 = jnp.zeros((B, N, ocp.n_con), dtype)
+    init = (V, lam0, jnp.full((B,), cfg.mu_init, dtype),
+            jnp.full((B,), jnp.inf, dtype), jnp.zeros((), jnp.int32))
+    (V, lam, mu, viol, tot_it), (Zs, Ks, gnorms) = jax.lax.scan(
+        al_round, init, None, length=cfg.al_iters)
+    Z = Zs[-1]
     raw = raw_v(aux, Z, V)
-    return ILQRSolution(V=V, Z=Z, K=K, cost=raw,
-                        viol=jnp.zeros((B,), dtype),
-                        iters=jnp.broadcast_to(it, (B,)), grad_norm=gnorm)
+    return ILQRSolution(V=V, Z=Z, K=Ks[-1], cost=raw, viol=viol,
+                        iters=jnp.broadcast_to(tot_it, (B,)),
+                        grad_norm=gnorms[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("ocp", "cfg"))

@@ -63,3 +63,34 @@ def test_pmpc_batch_controller_matches_per_instance():
                                 targets[i], p_i, w_i)
         assert np.allclose(np.asarray(u_batch[i]), np.asarray(u_i),
                            atol=5e-5), i
+
+
+def test_solve_batch_constrained_matches_vmap():
+    """AL-constrained batch-major solve (RMPC du-formulation, n_con=4)."""
+    from dart_tpu.control.reference import build_ref_traj
+    from dart_tpu.solver.ocp import RMPCAux, make_rmpc_ocp_du
+    B, N = 6, 10
+    ocp = make_rmpc_ocp_du(dt=0.02, u_bound=0.4, du_bound=0.05, vmax=0.25)
+    cfg = ilqr.ILQRConfig(max_iters=15, al_iters=3)
+    rng = np.random.default_rng(2)
+    thetas = jnp.asarray(rng.normal(size=(B, 14)) * 0.05)
+    params = dyn.RMPCParams(theta=thetas, g=jnp.full(B, -9.81),
+                            v_eps=jnp.full(B, 0.1))
+    refs = jnp.stack([
+        build_ref_traj(jnp.zeros(4), jnp.asarray(
+            rng.uniform(-0.08, 0.08, 4) * np.array([1, 0, 1, 0])), N)
+        for _ in range(B)])
+    aux = RMPCAux(ref=refs, Qp=jnp.full(B, 100.0), Qv=jnp.full(B, 1.0),
+                  Ru=jnp.full(B, 0.05), Rdu=jnp.full(B, 1.0))
+    z0 = jnp.asarray(rng.normal(size=(B, 6)) * 0.02)
+    V0 = jnp.zeros((B, N, 2))
+
+    batched = ilqr.solve_batch(ocp, cfg, params, aux, z0, V0,
+                               use_pallas=False)
+    ref = jax.vmap(lambda p, a, z, v: ilqr.solve(ocp, cfg, p, a, z, v))(
+        params, aux, z0, V0)
+    assert np.allclose(np.asarray(batched.cost), np.asarray(ref.cost),
+                       rtol=1e-4, atol=1e-7)
+    assert np.allclose(np.asarray(batched.V[:, 0]), np.asarray(ref.V[:, 0]),
+                       atol=1e-4)
+    assert float(batched.viol.max()) < 1e-5
