@@ -220,6 +220,55 @@ class RMPC:
         return new_carry, u, _diag(sol)
 
 
+class RMPCBatch(RMPC):
+    """Batch-major RMPC: vectorised RLS/governor/reference + one constrained
+    `solve_batch` (fused Pallas backward on TPU) for the whole scenario
+    batch. Carry leaves all gain a leading batch dimension."""
+
+    def init_carry_batch(self, states0: jnp.ndarray,
+                         dtype=jnp.float32) -> RMPCCarry:
+        return jax.vmap(lambda s: self.init_carry(s, dtype))(states0)
+
+    def solve_batched(self, carry: RMPCCarry, states: jnp.ndarray,
+                      targets: jnp.ndarray,
+                      weights: RMPCWeights = RMPC_DEFAULT_WEIGHTS,
+                      use_pallas: bool = True):
+        """states (B, 4), targets (B, 4). Returns (carry', u (B, 2), diag)."""
+        B = states.shape[0]
+
+        def pre(carry, state, target):
+            ax = (state[1] - carry.prev_state[1]) / self.dt
+            ay = (state[3] - carry.prev_state[3]) / self.dt
+            phi = dyn.rmpc_features(carry.prev_state, self.v_eps)
+            rls_x = rls_update(carry.rls_x, phi, ax, self.rls_lam)
+            rls_y = rls_update(carry.rls_y, phi, ay, self.rls_lam)
+            theta = jnp.concatenate([rls_x.theta, rls_y.theta])
+            r_v = reference_governor(carry.r_v, target, self.dr_max,
+                                     self.rg_alpha)
+            ref = build_ref_traj(r_v, target, self.N, self.step_fraction)
+            return rls_x, rls_y, theta, r_v, ref
+
+        rls_x, rls_y, theta, r_v, refs = jax.vmap(pre)(carry, states, targets)
+        params = dyn.RMPCParams(theta=theta,
+                                g=jnp.full(B, dyn.GRAVITY_Z, states.dtype),
+                                v_eps=jnp.full(B, self.v_eps, states.dtype))
+        w = jax.tree.map(lambda x: jnp.broadcast_to(jnp.asarray(
+            x, states.dtype), (B,)), weights)
+        aux = RMPCAux(ref=refs, Qp=w.Qp, Qv=w.Qv, Ru=w.Ru, Rdu=w.Rdu)
+        z0 = jnp.concatenate([states, carry.u_prev], axis=-1)
+        sol = ilqr.solve_batch(self.ocp, self.cfg, params, aux, z0, carry.V,
+                               use_pallas=use_pallas)
+        if self.slew_exact:
+            u = jnp.clip(carry.u_prev + sol.V[:, 0], -self.u_bound,
+                         self.u_bound)
+        else:
+            u = sol.V[:, 0]
+        V_next = jnp.concatenate([sol.V[:, 1:], sol.V[:, -1:]], axis=1)
+        new_carry = RMPCCarry(V=V_next, u_prev=u, r_v=r_v, rls_x=rls_x,
+                              rls_y=rls_y, prev_state=states)
+        return new_carry, u, _diag(sol)
+
+
 # --------------------------------------------------------------------------
 # LMPC (RL-tuned model parameters; plan-shift on emulated solver lag)
 # --------------------------------------------------------------------------

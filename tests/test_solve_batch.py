@@ -94,3 +94,23 @@ def test_solve_batch_constrained_matches_vmap():
     assert np.allclose(np.asarray(batched.V[:, 0]), np.asarray(ref.V[:, 0]),
                        atol=1e-4)
     assert float(batched.viol.max()) < 1e-5
+
+
+def test_rmpc_batch_controller_matches_per_instance():
+    from dart_tpu.control import mpc as mpc_mod
+    B = 3
+    rng = np.random.default_rng(4)
+    cfg = ilqr.ILQRConfig(max_iters=15, al_iters=3)
+    b = mpc_mod.RMPCBatch(N=10, dt=0.02, cfg=cfg)
+    s = mpc_mod.RMPC(N=10, dt=0.02, cfg=cfg)
+    states = jnp.asarray(rng.normal(size=(B, 4)) * 0.03)
+    prev_states = states - jnp.asarray(rng.normal(size=(B, 4)) * 0.002)
+    targets = jnp.asarray(rng.uniform(-0.08, 0.08, size=(B, 4)) *
+                          np.array([1, 0, 1, 0]))
+    carry_b = b.init_carry_batch(prev_states, jnp.float64)
+    carry2_b, u_b, _ = b.solve_batched(carry_b, states, targets)
+    for i in range(B):
+        carry_i = s.init_carry(prev_states[i], jnp.float64)
+        _, u_i, _ = s.solve(carry_i, states[i], targets[i])
+        assert np.allclose(np.asarray(u_b[i]), np.asarray(u_i), atol=2e-4), \
+            (i, np.asarray(u_b[i]), np.asarray(u_i))
