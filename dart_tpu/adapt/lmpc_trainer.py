@@ -16,12 +16,10 @@ loop of `LMPC/src/run.py:204-241`.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dart_tpu.adapt import ppo as ppo_mod
 from dart_tpu.control import mpc as mpc_mod

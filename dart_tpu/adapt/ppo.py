@@ -20,7 +20,7 @@ mesh (grads reduced with psum) instead of running in a separate process.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ def main(argv=None):
     training = args.train or not args.test
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from dart_tpu.adapt import lmpc_trainer as trainer

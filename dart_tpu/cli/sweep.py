@@ -21,7 +21,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     if args.f64:
         jax.config.update("jax_enable_x64", True)

@@ -9,7 +9,7 @@ the decimal separator, e.g. `sphere_0x2_0x1` (`results.py:9-19`).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

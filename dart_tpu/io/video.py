@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Optional
-
 import numpy as np
 
 

@@ -9,7 +9,6 @@ control effort (`logger.py:154-176`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -23,13 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from dart_tpu.control import arm as arm_mod
-from dart_tpu.control.dualarm import (L_GRASP_POS, L_GRASP_QUAT, R_GRASP_POS,
-                                      R_GRASP_QUAT, resolve_ee_targets)
+from dart_tpu.control.dualarm import (L_GRASP_QUAT, R_GRASP_QUAT,
+                                      resolve_ee_targets)
 from dart_tpu.physics import chain as chain_mod
 from dart_tpu.physics import tray_object as to_mod
 from dart_tpu.utils.quat import (matrix_to_quat, quat_conj, quat_mul,
-                                 quat_normalize, quat_rotate,
-                                 quat_to_euler_xyz, tilt_to_quat)
+                                 quat_rotate, quat_to_euler_xyz,
+                                 tilt_to_quat)
 
 EE_OFFSET = (0.0, 0.0, 0.125)   # tool offset along EE z (`run.py:73`)
 HOME_QL = (2.0, -0.15, -0.38, 0.49, 0.11, -0.93, 1.4)     # keyframe `home`

@@ -15,7 +15,7 @@ Receding-horizon warm start: shift the nominal sequence one stage.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
