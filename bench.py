@@ -4,9 +4,10 @@ Reference baseline: the parallel PMPC implementation sustains ~80-100 Hz of
 IPOPT solves on a desktop CPU core (`PMPC/README.md:266`, BASELINE.md). We
 measure the same work — receding-horizon PMPC solves (nx=6, nu=2, N=15,
 Ts=2 ms) inside a closed loop against the analytic plant — on one TPU chip,
-using the production batch-major path (`PMPCBatch`): the Riccati backward
-pass of every iLQR iteration runs as a single fused Pallas kernel across
-the whole scenario batch.
+using the structure-exploiting production path (`solver.pmpc_fast`): the
+PMPC dynamics are affine in state, so linearisation is closed form, and
+the Riccati backward pass of every iLQR iteration runs as a single fused
+Pallas kernel across the whole scenario batch.
 
 Prints ONE JSON line:
   {"metric": "pmpc_solves_per_sec_per_chip", "value": ..., "unit": "solves/s",
@@ -32,39 +33,42 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from dart_tpu.control import mpc as mpc_mod
     from dart_tpu.models import dynamics as dyn
+    from dart_tpu.solver import pmpc_fast
+    from dart_tpu.solver.ocp import PMPCAux
 
     DT = 0.002     # reference control period (2 ms)
     N = 15         # reference horizon (`PMPC/main_parallel.py:108`)
-    B = 1024       # scenario batch per chip
+    B = 4096       # scenario batch per chip
     T = 50         # closed-loop steps (solves) per scenario
 
-    ctlr = mpc_mod.PMPCBatch(N=N, dt=DT,
-                             cfg=mpc_mod.ilqr.ILQRConfig(max_iters=4))
-    weights = mpc_mod.PMPC_WEIGHTS["general"]
     rng = np.random.default_rng(0)
     targets = jnp.asarray(
         rng.uniform(-0.1, 0.1, size=(B, 6)) * np.array([1, 0, 1, 0, 0, 0]),
         jnp.float32)
     mus = jnp.asarray(rng.uniform(0.05, 0.2, size=(B,)), jnp.float32)
-    params = dyn.PMPCParams(mu=mus, dt=DT)
+    aux = PMPCAux(target=targets, Qp=jnp.full(B, 300.0, jnp.float32),
+                  Qv=jnp.full(B, 2.0, jnp.float32),
+                  R=jnp.full(B, 0.2, jnp.float32))
     plant = dyn.discretize(dyn.pmpc_dynamics, DT)
     plant_v = jax.vmap(lambda x, u, mu: plant(x, u, dyn.PMPCParams(mu=mu,
                                                                    dt=DT)))
 
     @jax.jit
-    def closed_loop(x0, carry):
+    def closed_loop(x0, V0):
         def f(c, _):
-            carry, x = c
-            carry, u, _ = ctlr.solve(carry, x, targets, params, weights)
-            return (carry, plant_v(x, u, mus)), u
+            x, V = c
+            Vs, _, _ = pmpc_fast.solve_batch_fast(mus, aux, x, V, dt=DT,
+                                                  max_iters=4)
+            u = Vs[:, 0]
+            Vn = jnp.concatenate([Vs[:, 1:], Vs[:, -1:]], axis=1)
+            return (plant_v(x, u, mus), Vn), u
 
-        (_, _), us = jax.lax.scan(f, (carry, x0), None, length=T)
+        (_, _), us = jax.lax.scan(f, (x0, V0), None, length=T)
         return us
 
     x0 = jnp.zeros((B, 6), jnp.float32)
-    carry0 = ctlr.init_carry(B, jnp.float32)
+    carry0 = jnp.zeros((B, N, 2), jnp.float32)
     U = jax.block_until_ready(closed_loop(x0, carry0))  # compile
     if not bool(jnp.all(jnp.isfinite(U))):
         print(json.dumps({"metric": "pmpc_solves_per_sec_per_chip",
