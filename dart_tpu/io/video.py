@@ -23,6 +23,8 @@ class VideoWriterThread:
     """Queue + daemon thread around an imageio/cv2 sink; None = shutdown."""
 
     def __init__(self, path: str, fps: int = 30):
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.path = path
         self.fps = fps
         self.q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=256)
@@ -74,7 +76,15 @@ class VideoWriterThread:
             import imageio.v2 as imageio
             return "imageio", imageio.get_writer(self.path, fps=self.fps)
         except Exception:
-            return "npy", None
+            # No encoder for this container: fall back to GIF, then raw.
+            try:
+                import imageio.v2 as imageio
+                gif = self.path.rsplit(".", 1)[0] + ".gif"
+                w = imageio.get_writer(gif, fps=self.fps)
+                self.path = gif
+                return "imageio", w
+            except Exception:
+                return "npy", None
 
     def write(self, frame: np.ndarray):
         self.q.put(np.asarray(frame))
