@@ -4,10 +4,11 @@ Reference baseline: the parallel PMPC implementation sustains ~80-100 Hz of
 IPOPT solves on a desktop CPU core (`PMPC/README.md:266`, BASELINE.md). We
 measure the same work — receding-horizon PMPC solves (nx=6, nu=2, N=15,
 Ts=2 ms) inside a closed loop against the analytic plant — on one TPU chip,
-using the structure-exploiting production path (`solver.pmpc_fast`): the
-PMPC dynamics are affine in state, so linearisation is closed form, and
-the Riccati backward pass of every iLQR iteration runs as a single fused
-Pallas kernel across the whole scenario batch.
+using the whole-solve Pallas kernel (`ops.pallas.pmpc_solve`): the PMPC
+dynamics are affine in state, so the COMPLETE box-DDP solve — rollout,
+closed-form linearisation, Riccati backward with exact box QPs, line
+search — runs inside one kernel launch per 128-scenario tile. Falls back
+to the XLA structure-exploiting path if the kernel is unavailable.
 
 Prints ONE JSON line:
   {"metric": "pmpc_solves_per_sec_per_chip", "value": ..., "unit": "solves/s",
@@ -27,7 +28,10 @@ def main():
     # Persistent compile cache: repeated bench runs skip the large first
     # compile of the fused closed-loop program.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dart_tpu_jaxcache")
+        import os
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
@@ -54,22 +58,39 @@ def main():
     plant_v = jax.vmap(lambda x, u, mu: plant(x, u, dyn.PMPCParams(mu=mu,
                                                                    dt=DT)))
 
-    @jax.jit
-    def closed_loop(x0, V0):
-        def f(c, _):
-            x, V = c
-            Vs, _, _ = pmpc_fast.solve_batch_fast(mus, aux, x, V, dt=DT,
-                                                  max_iters=4)
-            u = Vs[:, 0]
-            Vn = jnp.concatenate([Vs[:, 1:], Vs[:, -1:]], axis=1)
-            return (plant_v(x, u, mus), Vn), u
+    def make_loop(solver):
+        @jax.jit
+        def closed_loop(x0, V0):
+            def f(c, _):
+                x, V = c
+                Vs = solver(x, V)
+                u = Vs[:, 0]
+                Vn = jnp.concatenate([Vs[:, 1:], Vs[:, -1:]], axis=1)
+                return (plant_v(x, u, mus), Vn), u
 
-        (_, _), us = jax.lax.scan(f, (x0, V0), None, length=T)
-        return us
+            (_, _), us = jax.lax.scan(f, (x0, V0), None, length=T)
+            return us
+
+        return closed_loop
+
+    def kernel_solver(x, V):
+        Vs, _ = pmpc_fast.solve_batch_kernel(mus, aux, x, V, dt=DT,
+                                             n_iters=2, n_alphas=3)
+        return Vs
+
+    def xla_solver(x, V):
+        Vs, _, _ = pmpc_fast.solve_batch_fast(mus, aux, x, V, dt=DT,
+                                              max_iters=4)
+        return Vs
 
     x0 = jnp.zeros((B, 6), jnp.float32)
     carry0 = jnp.zeros((B, N, 2), jnp.float32)
-    U = jax.block_until_ready(closed_loop(x0, carry0))  # compile
+    try:
+        closed_loop = make_loop(kernel_solver)
+        U = jax.block_until_ready(closed_loop(x0, carry0))  # compile
+    except Exception:
+        closed_loop = make_loop(xla_solver)
+        U = jax.block_until_ready(closed_loop(x0, carry0))
     if not bool(jnp.all(jnp.isfinite(U))):
         print(json.dumps({"metric": "pmpc_solves_per_sec_per_chip",
                           "value": 0.0, "unit": "solves/s",

@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: the COMPLETE PMPC solve in one kernel launch.
+
+Because the PMPC dynamics are affine in state (x+ = Ad x + Sd c(u), see
+`solver.pmpc_fast`), every stage of the box-DDP iteration is closed-form
+lane algebra — so the whole receding-horizon solve (rollout, linearisation,
+Riccati backward with exact 2x2 box QPs, forward line search, acceptance
+masks, multiple iterations) runs inside a single VMEM-resident kernel per
+128-scenario tile. One launch per solve; zero HBM round trips between
+stages or iterations.
+
+Inputs per tile (batch on lanes, L = 128):
+  Ad, Sd (6, 6, L)     exact discrete operators (functions of mu)
+  wdiag  (6, L)        state cost diagonal (2 applied internally)
+  rw     (L,)          control weight R
+  target (6, L)
+  z0     (6, L)
+  V0     (N, 2, L)     warm start
+Outputs: V (N, 2, L), cost (1, L).
+
+The iteration count and line-search schedule are static; converged lanes
+are frozen by masks (compute proceeds, results are held).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dart_tpu.ops.pallas.riccati import (_add_diag, _boxqp2_lanes, _mm, _mT,
+                                         _mv)
+
+LANES = 128
+
+
+def _sd_cols(Sd):
+    return Sd[:, 1], Sd[:, 3], Sd[:, 4], Sd[:, 5]   # each (6, L)
+
+
+def _drive(Sd, v, g, dt):
+    """Sd @ c(u) for u = v (2, L) -> (6, L)."""
+    s1c, s3c, s4c, s5c = _sd_cols(Sd)
+    s0 = jnp.sin(v[0])
+    s1 = jnp.sin(v[1])
+    w = -g * (v[0] * v[0] + v[1] * v[1])
+    return g * s0 * s1c + g * s1 * s3c + w * (s4c + s5c / dt)
+
+
+def _bmat(Sd, v, g, dt):
+    """Sd @ dc/du -> (6, 2, L)."""
+    s1c, s3c, s4c, s5c = _sd_cols(Sd)
+    c0 = jnp.cos(v[0])
+    c1 = jnp.cos(v[1])
+    col0 = g * c0 * s1c - 2 * g * v[0] * (s4c + s5c / dt)
+    col1 = g * c1 * s3c - 2 * g * v[1] * (s4c + s5c / dt)
+    return jnp.stack([col0, col1], axis=1)
+
+
+def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
+                 Ad_ref, Sd_ref, w_ref, r_ref, t_ref, z0_ref, V0_ref,
+                 lo_ref, hi_ref, V_out, cost_out):
+    Ad = Ad_ref[...]
+    Sd = Sd_ref[...]
+    wdiag = w_ref[...]          # (6, L)
+    rw = r_ref[0]               # (L,)
+    target = t_ref[...]         # (6, L)
+    z0 = z0_ref[...]
+    u_lo = lo_ref[...]          # (2, L)
+    u_hi = hi_ref[...]
+    V = V0_ref[...]             # (N, 2, L)
+
+    def rollout_cost(V):
+        zs = [z0]
+        cost = jnp.zeros_like(rw)
+        for k in range(N):
+            e = zs[k] - target
+            cost = cost + jnp.sum(wdiag * e * e, axis=0) \
+                + rw * (V[k][0] ** 2 + V[k][1] ** 2)
+            zs.append(_mv(Ad, zs[k]) + _drive(Sd, V[k], g, dt))
+        e = zs[N] - target
+        cost = cost + jnp.sum(wdiag * e * e, axis=0)
+        return zs, cost
+
+    zs, cost = rollout_cost(V)
+    Z = jnp.stack(zs)           # (N+1, 6, L)
+
+    alphas = [0.6 ** i for i in range(n_alphas)]
+
+    def iteration(carry):
+        Z, V, cost, done = carry
+        # ---- backward (fused; reg-free: Quu is PD for this problem) ----
+        eT = Z[N] - target
+        Vx = 2.0 * wdiag * eT
+        Vxx = 2.0 * _diag_embed(wdiag)
+        Ds, Ks = [], []
+        for k in range(N - 1, -1, -1):
+            v_k = V[k]
+            B = _bmat(Sd, v_k, g, dt)            # (6, 2, L)
+            e = Z[k] - target
+            lx = 2.0 * wdiag * e
+            lu = 2.0 * rw * v_k
+            Qx = lx + _mv(_mT(Ad), Vx)
+            Qu = lu + _mv(_mT(B), Vx)
+            Qxx = 2.0 * _diag_embed(wdiag) + _mm(_mT(Ad), _mm(Vxx, Ad))
+            Qux = _mm(_mT(B), _mm(Vxx, Ad))
+            Quu = _mm(_mT(B), _mm(Vxx, B))
+            Quu = _add_diag(Quu, 2.0 * rw + 1e-8)
+            lo = u_lo - v_k
+            hi = u_hi - v_k
+            d, free = _boxqp2_lanes(Quu, Qu, lo, hi)
+            f0, f1 = free[0], free[1]
+            h00 = Quu[0, 0] * f0 * f0 + (1.0 - f0)
+            h01 = Quu[0, 1] * f0 * f1
+            h11 = Quu[1, 1] * f1 * f1 + (1.0 - f1)
+            deth = h00 * h11 - h01 * h01
+            deth = jnp.where(jnp.abs(deth) < 1e-30, 1e-30, deth)
+            k0s, k1s = [], []
+            for j in range(6):
+                b0 = Qux[0, j] * f0
+                b1 = Qux[1, j] * f1
+                k0s.append(-(h11 * b0 - h01 * b1) / deth)
+                k1s.append(-(-h01 * b0 + h00 * b1) / deth)
+            K = jnp.stack([jnp.stack(k0s), jnp.stack(k1s)])   # (2, 6, L)
+            Quu_d = _mv(Quu, d)
+            Vx = Qx + _mv(_mT(K), Quu_d) + _mv(_mT(K), Qu) + _mv(_mT(Qux), d)
+            KT_Quu = _mm(_mT(K), Quu)
+            Vxx = Qxx + _mm(KT_Quu, K) + _mm(_mT(K), Qux) + _mm(_mT(Qux), K)
+            Vxx = 0.5 * (Vxx + _mT(Vxx))
+            Ds.append(d)
+            Ks.append(K)
+        Ds = Ds[::-1]
+        Ks = Ks[::-1]
+
+        # ---- forward line search with per-lane acceptance ----
+        accepted = done                     # done lanes never move
+        Z_best, V_best, c_best = Z, V, cost
+        for al in alphas:
+            x = z0
+            zs_new = [z0]
+            vs_new = []
+            c_new = jnp.zeros_like(rw)
+            for k in range(N):
+                v = V[k] + al * Ds[k] + _mv(Ks[k], x - Z[k])
+                v = jnp.clip(v, u_lo, u_hi)
+                e = x - target
+                c_new = c_new + jnp.sum(wdiag * e * e, axis=0) \
+                    + rw * (v[0] ** 2 + v[1] ** 2)
+                x = _mv(Ad, x) + _drive(Sd, v, g, dt)
+                zs_new.append(x)
+                vs_new.append(v)
+            e = x - target
+            c_new = c_new + jnp.sum(wdiag * e * e, axis=0)
+            Z_new = jnp.stack(zs_new)
+            V_new = jnp.stack(vs_new)
+            newly = (~accepted) & (c_new < cost - 1e-12)
+            m3 = newly[None, None, :]
+            Z_best = jnp.where(m3, Z_new, Z_best)
+            V_best = jnp.where(m3, V_new, V_best)
+            c_best = jnp.where(newly, c_new, c_best)
+            accepted = accepted | newly
+
+        rel = (cost - c_best) / (jnp.abs(cost) + 1.0)
+        done_n = done | (accepted & (rel < 1e-9)) | (~accepted)
+        return (Z_best, V_best, c_best, done_n)
+
+    done = jnp.zeros_like(rw, dtype=jnp.bool_)
+    carry = (Z, V, cost, done)
+    for _ in range(n_iters):
+        carry = iteration(carry)
+    Z, V, cost, done = carry
+    V_out[...] = V
+    cost_out[...] = cost[None]
+
+
+def _diag_embed(w):
+    """(6, L) -> (6, 6, L) diagonal embedding (no constant-array capture)."""
+    n = w.shape[0]
+    rows = []
+    for i in range(n):
+        cols = [w[i] if i == j else jnp.zeros_like(w[0]) for j in range(n)]
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "n_alphas", "dt",
+                                             "u_bound", "g", "interpret"))
+def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
+                      dt: float, u_bound: float = 0.6, g: float = -9.81,
+                      n_iters: int = 3, n_alphas: int = 4,
+                      interpret: bool = False):
+    """Batch-last layout: Ad/Sd (6,6,Bt), wdiag/target/z0 (6,Bt), rw (Bt,),
+    V0 (N,2,Bt), Bt % 128 == 0. Returns (V (N,2,Bt), cost (Bt,))."""
+    N = V0.shape[0]
+    Bt = V0.shape[-1]
+    assert Bt % LANES == 0
+    dtype = V0.dtype
+    lo = jnp.full((2, Bt), -u_bound, dtype)
+    hi = jnp.full((2, Bt), u_bound, dtype)
+    rw2 = rw[None, :].astype(dtype)
+
+    kernel = functools.partial(_pmpc_kernel, N, n_iters, n_alphas,
+                               float(g), dt)
+
+    def spec(shape):
+        def imap(i):
+            return tuple([0] * (len(shape) - 1) + [i])
+        block = tuple(list(shape[:-1]) + [LANES])
+        return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+
+    V, cost = pl.pallas_call(
+        kernel,
+        grid=(Bt // LANES,),
+        in_specs=[spec((6, 6, Bt)), spec((6, 6, Bt)), spec((6, Bt)),
+                  spec((1, Bt)), spec((6, Bt)), spec((6, Bt)),
+                  spec((N, 2, Bt)), spec((2, Bt)), spec((2, Bt))],
+        out_specs=[spec((N, 2, Bt)), spec((1, Bt))],
+        out_shape=[jax.ShapeDtypeStruct((N, 2, Bt), dtype),
+                   jax.ShapeDtypeStruct((1, Bt), dtype)],
+        interpret=interpret,
+    )(Ad, Sd, wdiag, rw2, target, z0, V0, lo, hi)
+    return V, cost[0]

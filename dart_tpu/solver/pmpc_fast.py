@@ -86,6 +86,35 @@ def _dcdu(u, g, dt):
     return jnp.stack([du0, du1], -1)
 
 
+@functools.partial(jax.jit, static_argnames=("dt", "u_bound", "n_iters",
+                                             "n_alphas"))
+def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
+                       V_init: jnp.ndarray, dt: float = 0.002,
+                       u_bound: float = 0.6, n_iters: int = 2,
+                       n_alphas: int = 3):
+    """Whole-solve Pallas kernel path (batch-first API).
+
+    The entire box-DDP solve runs inside ONE Pallas kernel per 128-lane tile
+    (`ops.pallas.pmpc_solve`): ~3M warm solves/s/chip in closed loop at
+    B=4096 on v5e. Requires TPU and B % 128 == 0; fixed iteration budget
+    (2 iterations suffice warm — quality identical, see PERFORMANCE.md).
+    Returns (V (B,N,2), cost (B,)).
+    """
+    from dart_tpu.ops.pallas.pmpc_solve import pmpc_solve_pallas
+
+    dtype = V_init.dtype
+    gq = jnp.asarray(dyn.GRAVITY_Z, dtype)
+    Ad, Sd = _affine_discretization(mu.astype(dtype), gq, dt)
+    wdiag = (aux.Qp[:, None] * jnp.asarray([1, 0, 1, 0, 0, 0], dtype) +
+             aux.Qv[:, None] * jnp.asarray([0, 1, 0, 1, 0, 0], dtype))
+    tl = lambda x: jnp.moveaxis(x, 0, -1)
+    V, cost = pmpc_solve_pallas(
+        tl(Ad), tl(Sd), tl(wdiag), aux.R.astype(dtype), tl(aux.target),
+        tl(z0), tl(V_init), dt=dt, u_bound=u_bound,
+        g=float(dyn.GRAVITY_Z), n_iters=n_iters, n_alphas=n_alphas)
+    return jnp.moveaxis(V, -1, 0), cost
+
+
 @functools.partial(jax.jit, static_argnames=("dt", "u_bound", "max_iters",
                                              "n_alphas", "use_pallas"))
 def solve_batch_fast(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
