@@ -27,11 +27,20 @@ def rls_init(p: int, P0: float = 1e3, theta0: jnp.ndarray | None = None,
 
 
 def rls_update(s: RLSState, phi: jnp.ndarray, y: jnp.ndarray,
-               lam: float = 0.995) -> RLSState:
+               lam: float = 0.995, P_max: float | None = None) -> RLSState:
+    """One RLS step. `P_max` (optional) caps trace(P): with forgetting
+    (lam < 1) and vanishing excitation — e.g. the object parked at the
+    target — P grows without bound ("covariance wind-up") and theta
+    eventually blows up; the reference sidesteps this only by *exiting its
+    loop at convergence* (`rob_ctrl.py:391-414`). The clamp makes long
+    steady-state operation safe."""
     Pphi = s.P @ phi
     denom = lam + phi @ Pphi
     K = Pphi / denom
     err = y - phi @ s.theta
     theta = s.theta + K * err
     P = (s.P - jnp.outer(K, phi) @ s.P) / lam
+    if P_max is not None:
+        tr = jnp.trace(P)
+        P = P * jnp.minimum(1.0, P_max / jnp.maximum(tr, 1e-12))
     return RLSState(theta=theta, P=P)

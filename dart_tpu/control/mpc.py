@@ -175,12 +175,16 @@ class RMPC:
 
     def __init__(self, N: int = 20, dt: float = 0.002, u_bound: float = 0.4,
                  du_bound: float = 0.05, vmax: float = 0.25, v_eps: float = 0.1,
-                 rls_lam: float = 0.995, dr_max: float = 0.01,
+                 rls_lam: float = 0.995, rls_P_max: float = 1e4,
+                 dr_max: float = 0.01,
                  rg_alpha: float = 0.5, step_fraction: float = 0.2,
                  slew_exact: bool = True,
                  cfg: ilqr.ILQRConfig = ilqr.ILQRConfig()):
         self.N, self.dt, self.v_eps = N, dt, v_eps
         self.rls_lam, self.dr_max, self.rg_alpha = rls_lam, dr_max, rg_alpha
+        # Covariance-wind-up guard (see adapt.rls.rls_update); None disables
+        # for reference-faithful unbounded forgetting.
+        self.rls_P_max = rls_P_max
         self.step_fraction = step_fraction
         self.u_bound = u_bound
         self.slew_exact = slew_exact
@@ -213,8 +217,10 @@ class RMPC:
         ax_meas = (state[1] - carry.prev_state[1]) / self.dt
         ay_meas = (state[3] - carry.prev_state[3]) / self.dt
         phi = dyn.rmpc_features(carry.prev_state, self.v_eps)
-        rls_x = rls_update(carry.rls_x, phi, ax_meas, self.rls_lam)
-        rls_y = rls_update(carry.rls_y, phi, ay_meas, self.rls_lam)
+        rls_x = rls_update(carry.rls_x, phi, ax_meas, self.rls_lam,
+                           self.rls_P_max)
+        rls_y = rls_update(carry.rls_y, phi, ay_meas, self.rls_lam,
+                           self.rls_P_max)
         theta = jnp.concatenate([rls_x.theta, rls_y.theta])
 
         # 2. Reference governor + staged reference trajectory.
@@ -256,8 +262,10 @@ class RMPCBatch(RMPC):
             ax = (state[1] - carry.prev_state[1]) / self.dt
             ay = (state[3] - carry.prev_state[3]) / self.dt
             phi = dyn.rmpc_features(carry.prev_state, self.v_eps)
-            rls_x = rls_update(carry.rls_x, phi, ax, self.rls_lam)
-            rls_y = rls_update(carry.rls_y, phi, ay, self.rls_lam)
+            rls_x = rls_update(carry.rls_x, phi, ax, self.rls_lam,
+                               self.rls_P_max)
+            rls_y = rls_update(carry.rls_y, phi, ay, self.rls_lam,
+                               self.rls_P_max)
             theta = jnp.concatenate([rls_x.theta, rls_y.theta])
             r_v = reference_governor(carry.r_v, target, self.dr_max,
                                      self.rg_alpha)

@@ -201,9 +201,9 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
             return jnp.stack([pos[0], vel[0], pos[1], vel[1]])
 
         def stepf(carry, k):
-            ctrl_carry, s, u_held = carry
+            ctrl_carry, s, u_held, stopped = carry
             obs = observe(s)
-            do_solve = (k >= warmup_steps) & \
+            do_solve = (k >= warmup_steps) & (~stopped) & \
                 ((k - warmup_steps) % control_every == 0)
 
             def s_branch(c):
@@ -215,16 +215,29 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
 
             ctrl_carry, u = jax.lax.cond(do_solve, s_branch, h_branch,
                                          ctrl_carry)
-            u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
-            s = to_mod.step(s, u_apply, obj_params, dt)
+            u_apply = jnp.where((k >= warmup_steps) & (~stopped), u,
+                                jnp.where(stopped, u_held,
+                                          jnp.zeros_like(u)))
+            s_next = to_mod.step(s, u_apply, obj_params, dt)
+            # Freeze at convergence, as the reference driver breaks its loop
+            # when the error first crosses tolerance (rob_ctrl.py:391-414) —
+            # also avoiding RLS covariance wind-up under zero excitation.
+            err = jnp.linalg.norm(
+                jnp.stack([s_next.p[0] - target_xy[0],
+                           s_next.p[1] - target_xy[1]]))
+            stopped_n = stopped | ((k >= warmup_steps) & (err < tol))
+            s_keep = jax.tree.map(
+                lambda a, b: jnp.where(stopped, a, b), s, s_next)
             theta = jnp.concatenate([ctrl_carry.rls_x.theta,
                                      ctrl_carry.rls_y.theta])
-            return (ctrl_carry, s, u), (s.p, u_apply, theta)
+            return (ctrl_carry, s_keep, u, stopped_n), \
+                (s_keep.p, u_apply, theta)
 
         s0 = to_mod.init_state(dtype=dtype)
         carry0 = ctlr.init_carry(observe(s0), dtype)
-        (_, s_fin, _), (ps, us, thetas) = jax.lax.scan(
-            stepf, (carry0, s0, jnp.zeros(2, dtype)), jnp.arange(n_steps))
+        (_, s_fin, _, _), (ps, us, thetas) = jax.lax.scan(
+            stepf, (carry0, s0, jnp.zeros(2, dtype),
+                    jnp.zeros((), bool)), jnp.arange(n_steps))
         X = jnp.stack([ps[:, 0], jnp.zeros_like(ps[:, 0]),
                        ps[:, 1], jnp.zeros_like(ps[:, 1])], axis=-1)
         m = compute_metrics(X, us, target_xy, dt, tol=tol)
