@@ -56,6 +56,7 @@ def sample_obj_params(rng, dtype=jnp.float32) -> to_mod.TrayObjectParams:
     """Randomise shape/mass/friction over the 18-config envelope."""
     k1, k2, k3 = jax.random.split(rng, 3)
     kappa_table = jnp.asarray([[0.0, 0.0], [2.0, 0.0], [2.5, 2.5]], dtype)
+    topple_table = jnp.asarray([[1.0, 1.0], [0.0, 1.0], [0.0, 0.0]], dtype)
     shape = jax.random.randint(k1, (), 0, 3)
     return to_mod.TrayObjectParams(
         mass=jax.random.choice(k2, jnp.asarray([1.0, 2.0, 3.0], dtype)),
@@ -64,7 +65,10 @@ def sample_obj_params(rng, dtype=jnp.float32) -> to_mod.TrayObjectParams:
         slip_eps=jnp.asarray(2e-3, dtype),
         omega_n=jnp.asarray(40.0, dtype),
         zeta=jnp.asarray(1.0, dtype),
-        tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype))
+        tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
+        half_w=jnp.asarray([0.025, 0.025], dtype),
+        h_com=jnp.asarray(0.025, dtype),
+        topple_on=topple_table[shape])
 
 
 def env_init(rng, ctlr: mpc_mod.LMPC, cfg: FSEnvConfig) -> FSEnvState:
@@ -115,7 +119,7 @@ def env_step(policy_params, model, ctlr: mpc_mod.LMPC,
     world, _ = jax.lax.scan(world_sub, s.world, None, length=cfg.substeps)
 
     x_next = fs.observe_object_8(world, s.obj_params)
-    in_contact = jnp.where(to_mod.off_tray(world.obj), 0.0, 1.0)
+    in_contact = jnp.where(to_mod.contact_lost(world.obj), 0.0, 1.0)
     reward, oob = ppo_mod.shaped_reward(
         x_next, s.target, u, s.prev_control, jnp.linalg.norm(delta_z),
         s.time_penalty, in_contact, cfg.rew_cfg)

@@ -209,6 +209,197 @@ def lmpc_dynamics(x: jnp.ndarray, u: jnp.ndarray, pvec: jnp.ndarray) -> jnp.ndar
 
 
 # --------------------------------------------------------------------------
+# Closed-form Jacobians (structure-exploiting solver paths)
+#
+# The generic solver linearises dynamics with jacfwd through the full RK4
+# step: nz+nu tangents x 4 dynamics evaluations per stage, which dominates
+# each iLQR iteration for the transcendental-heavy RMPC/LMPC models. The
+# continuous-time Jacobians below are hand-derived (verified against jacfwd
+# to machine precision in tests/test_structure.py) and composed through RK4
+# by the exact chain rule in `rk4_jac` — ~2 extra dynamics-evaluation
+# equivalents instead of ~(nz+nu) x 4.
+# --------------------------------------------------------------------------
+
+def pmpc_jac(x: jnp.ndarray, u: jnp.ndarray, p: PMPCParams):
+    """Continuous-time (A (...,6,6), B (...,6,2)) of `pmpc_dynamics`.
+
+    The model is affine in the state, so A is constant (a function of mu and
+    dt only); B carries the g cos(tilt) forcing rows plus the algebraic
+    vertical channel's -2 g tilt terms.
+    """
+    dtype = x.dtype
+    tx, ty = u[..., 0], u[..., 1]
+    g = jnp.asarray(p.g, dtype)
+    mu = jnp.asarray(p.mu, dtype) * jnp.ones_like(tx)
+    inv_dt = 1.0 / jnp.asarray(p.dt, dtype) * jnp.ones_like(tx)
+    z = jnp.zeros_like(tx)
+    o = jnp.ones_like(tx)
+    A = jnp.stack([
+        jnp.stack([z, o, z, z, z, z], -1),
+        jnp.stack([z, -mu, z, z, z, z], -1),
+        jnp.stack([z, z, z, o, z, z], -1),
+        jnp.stack([z, z, z, -mu, z, z], -1),
+        jnp.stack([z, z, z, z, z, z], -1),
+        jnp.stack([z, z, z, z, z, -inv_dt], -1),
+    ], -2)
+    ca, cb = g * jnp.cos(tx), g * jnp.cos(ty)
+    wx, wy = -2.0 * g * tx, -2.0 * g * ty
+    z2 = jnp.stack([z, z], -1)
+    B = jnp.stack([z2, jnp.stack([ca, z], -1), z2, jnp.stack([z, cb], -1),
+                   jnp.stack([wx, wy], -1),
+                   jnp.stack([wx * inv_dt, wy * inv_dt], -1)], -2)
+    return A, B
+
+
+def rmpc_jac(x: jnp.ndarray, u: jnp.ndarray, p: RMPCParams):
+    """Continuous-time (A, B) of `rmpc_dynamics` at one point.
+
+    d(phi.theta)/dx is closed form: phi is linear in [px,vx,py,vy] except
+    the two tanh features, whose derivative is (1 - tanh^2)/v_eps.
+    """
+    dtype = x.dtype
+    vx, vy = x[..., 1], x[..., 3]
+    g = jnp.asarray(p.g, dtype)
+    ve = jnp.asarray(p.v_eps, dtype)
+    th = jnp.asarray(p.theta, dtype)
+    thx, thy = th[..., 0:7], th[..., 7:14]
+    tx = jnp.tanh(vx / ve)
+    ty = jnp.tanh(vy / ve)
+    dtx = (1.0 - tx * tx) / ve
+    dty = (1.0 - ty * ty) / ve
+    z = jnp.zeros_like(vx)
+    o = jnp.ones_like(vx)
+    row_ax = jnp.stack([thx[..., 0], thx[..., 1] + thx[..., 4] * dtx,
+                        thx[..., 2], thx[..., 3] + thx[..., 5] * dty], -1)
+    row_ay = jnp.stack([thy[..., 0], thy[..., 1] + thy[..., 4] * dtx,
+                        thy[..., 2], thy[..., 3] + thy[..., 5] * dty], -1)
+    A = jnp.stack([jnp.stack([z, o, z, z], -1), row_ax,
+                   jnp.stack([z, z, z, o], -1), row_ay], -2)
+    ca = g * jnp.cos(u[..., 0])
+    cb = g * jnp.cos(u[..., 1])
+    B = jnp.stack([jnp.stack([z, z], -1), jnp.stack([ca, z], -1),
+                   jnp.stack([z, z], -1), jnp.stack([z, cb], -1)], -2)
+    return A, B
+
+
+def stribeck_friction_deriv(v, f_s, f_c, b, v_s, eps):
+    """d/dv of `stribeck_friction` (sign(0)=0 convention matches jnp.abs)."""
+    vs = v_s + 1e-12
+    ex = jnp.exp(-jnp.abs(v) / vs)
+    stc = f_c + (f_s - f_c) * ex
+    t = jnp.tanh(v / eps)
+    return (1.0 - t * t) / eps * stc + t * (f_s - f_c) * ex * \
+        (-jnp.sign(v) / vs) + b
+
+
+def lmpc_jac(x: jnp.ndarray, u: jnp.ndarray, pvec: jnp.ndarray):
+    """Continuous-time (A (...,8,8), B (...,8,2)) of `lmpc_dynamics`.
+
+    Sparsity: qdd_x couples to {px, vx, om_y} (rolling slip), al_x to
+    {vy, om_x, th_x}, and symmetrically for the y axis; tilt controls enter
+    only the translational accelerations (g cos tilt).
+    """
+    vx, vy = x[..., 1], x[..., 3]
+    th_x, om_x, th_y, om_y = x[..., 4], x[..., 5], x[..., 6], x[..., 7]
+    a, b_u = u[..., 0], u[..., 1]
+    pvec = jnp.asarray(pvec, dtype=x.dtype)
+
+    def sq(i):
+        return _squash(pvec[..., i])
+
+    m_x, m_y = sq(0), sq(1)
+    c_x, c_y = sq(2), sq(3)
+    k_x, k_y = sq(4), sq(5)
+    f_s_x, f_c_x, b_x = pvec[..., 6], pvec[..., 7], pvec[..., 8]
+    v_s_x, eps_x = sq(9), sq(10)
+    f_s_y, f_c_y, b_y = pvec[..., 11], pvec[..., 12], pvec[..., 13]
+    v_s_y, eps_y = sq(14), sq(15)
+    i_x, i_y = sq(16), sq(17)
+    r_x, r_y = sq(18), sq(19)
+    c_rot_x, c_rot_y = sq(20), sq(21)
+    f_s_rx, f_c_rx, b_rx = pvec[..., 22], pvec[..., 23], pvec[..., 24]
+    v_s_rx, eps_rx = sq(25), sq(26)
+    f_s_ry, f_c_ry, b_ry = pvec[..., 27], pvec[..., 28], pvec[..., 29]
+    v_s_ry, eps_ry = sq(30), sq(31)
+    h_com_x, h_com_y = sq(32), sq(33)
+    g = jnp.asarray(LMPC_G, dtype=x.dtype)
+
+    # Friction slopes at the evaluation point.
+    Dff_x = stribeck_friction_deriv(vx, f_s_x, f_c_x, b_x, v_s_x, eps_x)
+    Dff_y = stribeck_friction_deriv(vy, f_s_y, f_c_y, b_y, v_s_y, eps_y)
+    v_slip_x = vx - r_x * om_y
+    v_slip_y = vy + r_y * om_x
+    Dfr_x = stribeck_friction_deriv(v_slip_x, f_s_x, f_c_x, b_x, v_s_x, eps_x)
+    Dfr_y = stribeck_friction_deriv(v_slip_y, f_s_y, f_c_y, b_y, v_s_y, eps_y)
+    Dtn_x = stribeck_friction_deriv(om_x, f_s_rx, f_c_rx, b_rx, v_s_rx,
+                                    eps_rx)
+    Dtn_y = stribeck_friction_deriv(om_y, f_s_ry, f_c_ry, b_ry, v_s_ry,
+                                    eps_ry)
+
+    ix = i_x + 1e-12
+    iy = i_y + 1e-12
+    z = jnp.zeros_like(vx)
+    o = jnp.ones_like(vx)
+
+    # State order [px, vx, py, vy, th_x, om_x, th_y, om_y].
+    r_vx = jnp.stack([-k_x / m_x, (-c_x - Dff_x - Dfr_x) / m_x, z, z,
+                      z, z, z, r_x * Dfr_x / m_x], -1)
+    r_vy = jnp.stack([z, z, -k_y / m_y, (-c_y - Dff_y - Dfr_y) / m_y,
+                      z, -r_y * Dfr_y / m_y, z, z], -1)
+    r_alx = jnp.stack([z, z, z, -r_y * Dfr_y / ix,
+                       -m_y * g * h_com_x * jnp.cos(th_x) / ix,
+                       (-r_y * r_y * Dfr_y - Dtn_x - c_rot_x) / ix, z, z], -1)
+    r_aly = jnp.stack([z, -r_x * Dfr_x / iy, z, z, z, z,
+                       -m_x * g * h_com_y * jnp.cos(th_y) / iy,
+                       (r_x * r_x * Dfr_x - Dtn_y - c_rot_y) / iy], -1)
+
+    def e(i):
+        rows = [z] * 8
+        rows[i] = o
+        return jnp.stack(rows, -1)
+
+    A = jnp.stack([e(1), r_vx, e(3), r_vy, e(5), r_alx, e(7), r_aly], -2)
+    ca = g * jnp.cos(a)
+    cb = g * jnp.cos(b_u)
+    z2 = jnp.stack([z, z], -1)
+    B = jnp.stack([z2, jnp.stack([ca, z], -1), z2, jnp.stack([z, cb], -1),
+                   z2, z2, z2, z2], -2)
+    return A, B
+
+
+def rk4_jac(f: Dynamics, f_jac, x: jnp.ndarray, u: jnp.ndarray, p: Any,
+            dt: float | jnp.ndarray):
+    """Exact (Ad, Bd) of `rk4_step` from continuous-time stage Jacobians.
+
+    Chain rule through the four RK4 stages: dk_i/dx = A(x_i) dx_i/dx with
+    dx_{i+1}/dx = I + c_i dt dk_i/dx (and the matching du recursions).
+    Identical to jacfwd of the discrete step, at ~2 dynamics-evaluation cost
+    instead of (nz+nu) tangent propagations.
+    """
+    dt = jnp.asarray(dt, x.dtype)
+    k1 = f(x, u, p)
+    x2 = x + 0.5 * dt * k1
+    k2 = f(x2, u, p)
+    x3 = x + 0.5 * dt * k2
+    x4 = x + dt * f(x3, u, p)
+    A1, B1 = f_jac(x, u, p)
+    A2, B2 = f_jac(x2, u, p)
+    A3, B3 = f_jac(x3, u, p)
+    A4, B4 = f_jac(x4, u, p)
+    eye = jnp.eye(x.shape[-1], dtype=x.dtype)
+    dk1x, dk1u = A1, B1
+    dk2x = A2 @ (eye + 0.5 * dt * dk1x)
+    dk2u = A2 @ (0.5 * dt * dk1u) + B2
+    dk3x = A3 @ (eye + 0.5 * dt * dk2x)
+    dk3u = A3 @ (0.5 * dt * dk2u) + B3
+    dk4x = A4 @ (eye + dt * dk3x)
+    dk4u = A4 @ (dt * dk3u) + B4
+    Ad = eye + dt / 6.0 * (dk1x + 2.0 * dk2x + 2.0 * dk3x + dk4x)
+    Bd = dt / 6.0 * (dk1u + 2.0 * dk2u + 2.0 * dk3u + dk4u)
+    return Ad, Bd
+
+
+# --------------------------------------------------------------------------
 # Shared RK4 integrator
 # --------------------------------------------------------------------------
 

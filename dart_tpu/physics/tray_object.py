@@ -21,8 +21,17 @@ Model notes:
   (5/7 g for spheres, 2/3 g for cylinders) and Coulomb stick for cubes
   without mode switching — the same regularisation philosophy as MuJoCo's
   `noslip_iterations` solver the reference relies on.
-- Toppling is not modelled (5 cm cube tips only beyond ~0.78 rad > the
-  0.6 rad tilt bound).
+- Toppling IS modelled, as per-axis rocking about the downhill support edge
+  (the failure mode the LMPC reward penalises via its contact-loss event,
+  `rlmpc2.py:734-736`, and whose restoring torque -m g h_com sin(theta) the
+  LMPC transition model carries, `rlmpc2.py:389-398`). A flat-bottomed
+  object with support half-width w and COM height h starts rocking when the
+  tangential gravity lever exceeds the restoring one (|g_t| h > w g_n,
+  i.e. tilt > atan(w/h): ~0.785 rad for the 5 cm cube, outside the 0.6 rad
+  static bound but reachable dynamically through tray-lag overshoot);
+  it topples once the COM passes over the edge (|q| > atan(w/h)). Contact
+  at q=0 is inelastic (rocking energy is absorbed, as in MuJoCo's hard
+  contacts). Rolling axes (cylinder x, sphere both) do not rock.
 
 Pure jnp; a scenario batch is a vmap axis.
 """
@@ -46,6 +55,14 @@ _KAPPA_INV = {
     "cylinder": (2.0, 0.0),
     "sphere": (2.5, 2.5),
 }
+# Per-axis rocking enable: only flat-bottomed, non-rolling axes can tip
+# (cube both axes; a side-lying cylinder tips over its flat ends along its
+# axis but rolls across it; a sphere never tips).
+_TOPPLE_ON = {
+    "cube": (1.0, 1.0),
+    "cylinder": (0.0, 1.0),
+    "sphere": (0.0, 0.0),
+}
 
 
 class TrayObjectParams(NamedTuple):
@@ -57,17 +74,39 @@ class TrayObjectParams(NamedTuple):
     omega_n: jnp.ndarray         # tray tracking bandwidth (rad/s)
     zeta: jnp.ndarray            # tray tracking damping ratio
     tray_pos: jnp.ndarray        # (3,) world tray centre
+    half_w: jnp.ndarray          # (2,) support half-extent per tip axis (m)
+    h_com: jnp.ndarray           # COM height above the contact plane (m)
+    topple_on: jnp.ndarray       # (2,) 1.0 where rocking is modelled
 
 
 def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
                 slip_eps: float = 2e-3, omega_n: float = 40.0,
                 zeta: float = 1.0, tray_height: float = 0.4,
-                dtype=jnp.float32) -> TrayObjectParams:
+                size: float = 0.05, dtype=jnp.float32) -> TrayObjectParams:
+    """`size` is the characteristic dimension (cube edge / cylinder diameter
+    / sphere diameter), matching the 5 cm default of `cube_geom`
+    (`LMPC/models/xarm7/world_general.xml:152-163`)."""
     a = lambda x: jnp.asarray(x, dtype)
+    half = size / 2.0
     return TrayObjectParams(
         mass=a(mass), mu=a(mu), kappa_inv=a(_KAPPA_INV[shape]),
         slip_eps=a(slip_eps), omega_n=a(omega_n), zeta=a(zeta),
-        tray_pos=a([0.0, 0.0, tray_height]))
+        tray_pos=a([0.0, 0.0, tray_height]),
+        half_w=a([half, half]), h_com=a(half),
+        topple_on=a(_TOPPLE_ON[shape]))
+
+
+def topple_on_from_kappa(kappa_inv: jnp.ndarray) -> jnp.ndarray:
+    """Rocking-enable mask from the rolling signature: an axis that rolls
+    (kappa_inv > 0) cannot rock; flat axes of the cube/cylinder can. Works
+    on traced per-scenario kappa rows (cube (0,0)->(1,1), cylinder
+    (2,0)->(0,1), sphere (2.5,2.5)->(0,0); the sphere's second axis is also
+    rolling, so every flat-axis flag is correct)."""
+    on = (kappa_inv == 0).astype(kappa_inv.dtype)
+    # A sphere has no flat face at all: if BOTH axes roll, disable both
+    # (already implied by the mask); if one axis rolls (cylinder), the other
+    # tips over the flat ends.
+    return on
 
 
 class TrayObjectState(NamedTuple):
@@ -76,12 +115,17 @@ class TrayObjectState(NamedTuple):
     p: jnp.ndarray           # (2,) object position in tray frame
     v: jnp.ndarray           # (2,) object velocity in tray frame
     v_roll: jnp.ndarray      # (2,) rolling-equivalent contact velocity
+    q_rock: jnp.ndarray      # (2,) signed rocking angle about support edges
+    w_rock: jnp.ndarray      # (2,) rocking rate
+    toppled: jnp.ndarray     # () sticky failure flag (COM passed the edge)
 
 
 def init_state(p0=(0.0, 0.0), dtype=jnp.float32) -> TrayObjectState:
     z2 = jnp.zeros(2, dtype)
     return TrayObjectState(theta=z2, theta_dot=z2,
-                           p=jnp.asarray(p0, dtype), v=z2, v_roll=z2)
+                           p=jnp.asarray(p0, dtype), v=z2, v_roll=z2,
+                           q_rock=z2, w_rock=z2,
+                           toppled=jnp.zeros((), bool))
 
 
 def tray_gravity(theta: jnp.ndarray):
@@ -107,8 +151,36 @@ def step_object(s: TrayObjectState, theta: jnp.ndarray,
     # Non-rolling axes carry no rolling state.
     v_roll = jnp.where(params.kappa_inv > 0, v_roll, jnp.zeros_like(v_roll))
     p = s.p + dt * v
+
+    # Rocking about the downhill support edge (see module docstring).
+    # Torque per unit mass about the active edge at rocking angle q':
+    #   tau = (h cos q' + w sin q') * g_t,toward-edge
+    #       + (h sin q' - w cos q') * g_n
+    # (at q'=0 this is h g_t - w g_n: lifts off exactly when the classic
+    # static criterion |g_t| h > w g_n is violated); the edge moment of
+    # inertia per unit mass is k = h^2 + w^2 + r_g^2 with r_g^2 = (h^2+w^2)/3
+    # for a homogeneous box.
+    w_sup, h = params.half_w, params.h_com
+    k_rock = (h * h + w_sup * w_sup) * (4.0 / 3.0)
+    s_dir = jnp.where(s.q_rock != 0, jnp.sign(s.q_rock), jnp.sign(gt))
+    qp = jnp.abs(s.q_rock)
+    tau = (h * jnp.cos(qp) + w_sup * jnp.sin(qp)) * (s_dir * gt) \
+        + (h * jnp.sin(qp) - w_sup * jnp.cos(qp)) * gn
+    alpha = s_dir * tau / k_rock * params.topple_on
+    w_rock = s.w_rock + dt * alpha
+    q_rock = s.q_rock + dt * w_rock
+    # Inelastic landing on the flat face: crossing q=0 against the active
+    # edge absorbs the rocking energy.
+    landed = q_rock * s_dir < 0
+    q_rock = jnp.where(landed, 0.0, q_rock)
+    w_rock = jnp.where(landed, 0.0, w_rock)
+    q_crit = jnp.arctan2(w_sup, h)
+    toppled = s.toppled | jnp.any((jnp.abs(q_rock) > q_crit)
+                                  & (params.topple_on > 0))
+    q_rock = jnp.clip(q_rock, -2.0 * q_crit, 2.0 * q_crit)
     return TrayObjectState(theta=theta, theta_dot=theta_dot, p=p, v=v,
-                           v_roll=v_roll)
+                           v_roll=v_roll, q_rock=q_rock, w_rock=w_rock,
+                           toppled=toppled)
 
 
 def step(s: TrayObjectState, u_cmd: jnp.ndarray, params: TrayObjectParams,
@@ -147,3 +219,9 @@ def observe_world(s: TrayObjectState, params: TrayObjectParams,
 def off_tray(s: TrayObjectState) -> jnp.ndarray:
     """Out-of-bounds flag (`rlmpc2.py:726-731` tray_limit check)."""
     return (jnp.abs(s.p[0]) > TRAY_LIMIT_X) | (jnp.abs(s.p[1]) > TRAY_LIMIT_Y)
+
+
+def contact_lost(s: TrayObjectState) -> jnp.ndarray:
+    """Failure flag: object left the tray OR tipped over its support edge
+    (the reference's contact-loss event, `rlmpc2.py:734-736`)."""
+    return off_tray(s) | s.toppled

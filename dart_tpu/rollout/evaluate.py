@@ -58,7 +58,10 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
             mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
             slip_eps=jnp.asarray(2e-3, dtype),
             omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
-            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype))
+            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
+            half_w=jnp.asarray([0.025, 0.025], dtype),
+            h_com=jnp.asarray(0.025, dtype),
+            topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
         # The analytic MPC model assumes the commanded friction (the driver
         # passes --friction straight to the model, `main_parallel.py:109`).
         model_mu = mu if assumed_mu is None else assumed_mu
@@ -126,7 +129,10 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
             mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
             slip_eps=jnp.asarray(2e-3, dtype),
             omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
-            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype))
+            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
+            half_w=jnp.asarray([0.025, 0.025], dtype),
+            h_com=jnp.asarray(0.025, dtype),
+            topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
         params = dyn.PMPCParams(mu=mu, dt=ctrl_dt)
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
                              jnp.where(shape_kappa_inv[0] > 0, 1, 0))
@@ -193,7 +199,10 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
             mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
             slip_eps=jnp.asarray(2e-3, dtype),
             omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
-            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype))
+            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
+            half_w=jnp.asarray([0.025, 0.025], dtype),
+            h_com=jnp.asarray(0.025, dtype),
+            topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
         target4 = jnp.asarray([target_xy[0], 0.0, target_xy[1], 0.0], dtype)
 
         def observe(s):

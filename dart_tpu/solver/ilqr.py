@@ -50,6 +50,16 @@ class OCPDef(NamedTuple):
     # c(z, v, k, aux) <= 0 elementwise, applied at stages 0..N-1.
     constraints: Optional[Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]] = None
     n_con: int = 0
+    # Structure-exploiting overrides (closed-form linearisation). When set,
+    # `_linearize` uses them instead of jacfwd/hessian autodiff — this removes
+    # the dominant per-iteration cost of the generic path (pushing nz+nu
+    # tangents through 4 RK4 dynamics evaluations per stage).
+    #   dyn_jac(z, v, params) -> (A (nz,nz), B (nz,nu)) of the DISCRETE step
+    #   cost_quad(k, z, v, lam_k, mu, aux) -> (lz, lv, lzz, lvz, lvv) of the
+    #     AL-penalised stage cost; term_quad(z, aux) -> (gz, gzz).
+    dyn_jac: Optional[Callable[[jnp.ndarray, jnp.ndarray, Any], tuple]] = None
+    cost_quad: Optional[Callable[..., tuple]] = None
+    term_quad: Optional[Callable[[jnp.ndarray, Any], tuple]] = None
 
 
 class ILQRConfig(NamedTuple):
@@ -122,31 +132,43 @@ def _linearize(ocp: OCPDef, params, aux, Z, V, lam, mu):
     """Stage-wise Jacobians of dynamics and quadratic expansion of AL cost."""
     ks = jnp.arange(V.shape[0])
 
-    def dyn_jac(z, v):
-        A = jax.jacfwd(ocp.step, argnums=0)(z, v, params)
-        B = jax.jacfwd(ocp.step, argnums=1)(z, v, params)
-        return A, B
+    if ocp.dyn_jac is not None:
+        def dyn_jac(z, v):
+            return ocp.dyn_jac(z, v, params)
+    else:
+        def dyn_jac(z, v):
+            A = jax.jacfwd(ocp.step, argnums=0)(z, v, params)
+            B = jax.jacfwd(ocp.step, argnums=1)(z, v, params)
+            return A, B
 
     A, B = jax.vmap(dyn_jac)(Z[:-1], V)
 
     nz = Z.shape[-1]
 
-    def cost_quad(k, z, v, lam_k):
-        def l_of(zv):
-            zz, vv = zv[:nz], zv[nz:]
-            c = ocp.stage_cost(zz, vv, k, aux)
-            if ocp.n_con:
-                c = c + _al_penalty(ocp.constraints(zz, vv, k, aux), lam_k, mu)
-            return c
+    if ocp.cost_quad is not None:
+        def cost_quad(k, z, v, lam_k):
+            return ocp.cost_quad(k, z, v, lam_k, mu, aux)
+    else:
+        def cost_quad(k, z, v, lam_k):
+            def l_of(zv):
+                zz, vv = zv[:nz], zv[nz:]
+                c = ocp.stage_cost(zz, vv, k, aux)
+                if ocp.n_con:
+                    c = c + _al_penalty(ocp.constraints(zz, vv, k, aux),
+                                        lam_k, mu)
+                return c
 
-        zv = jnp.concatenate([z, v])
-        g = jax.grad(l_of)(zv)
-        H = jax.hessian(l_of)(zv)
-        return g[:nz], g[nz:], H[:nz, :nz], H[nz:, :nz], H[nz:, nz:]
+            zv = jnp.concatenate([z, v])
+            g = jax.grad(l_of)(zv)
+            H = jax.hessian(l_of)(zv)
+            return g[:nz], g[nz:], H[:nz, :nz], H[nz:, :nz], H[nz:, nz:]
 
     lx, lu, lxx, lux, luu = jax.vmap(cost_quad)(ks, Z[:-1], V, lam)
-    gx = jax.grad(ocp.term_cost)(Z[-1], aux)
-    gxx = jax.hessian(ocp.term_cost)(Z[-1], aux)
+    if ocp.term_quad is not None:
+        gx, gxx = ocp.term_quad(Z[-1], aux)
+    else:
+        gx = jax.grad(ocp.term_cost)(Z[-1], aux)
+        gxx = jax.hessian(ocp.term_cost)(Z[-1], aux)
     return A, B, lx, lu, lxx, lux, luu, gx, gxx
 
 

@@ -237,3 +237,76 @@ def test_tray_tracking_converges_to_command():
     for _ in range(500):
         s = stepf(s)
     assert np.allclose(np.asarray(s.theta), np.asarray(u), atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Rocking / toppling (the LMPC contact-loss failure mode)
+# --------------------------------------------------------------------------
+
+def _hold_tilt(shape, tilt_x, T=1500, dt=0.002):
+    params = to_mod.make_params(shape=shape, mu=0.2, dtype=jnp.float64)
+    u = jnp.asarray([tilt_x, 0.0], jnp.float64)
+    s = to_mod.init_state(dtype=jnp.float64)._replace(theta=u)
+    stepf = jax.jit(lambda s: to_mod.step_object(s, u, jnp.zeros(2), params,
+                                                 dt))
+    for _ in range(T):
+        s = stepf(s)
+    return s
+
+
+def test_cube_stable_within_tilt_bounds():
+    """At the 0.6 rad tilt bound the 5 cm cube must NOT rock or topple
+    (critical static angle atan(w/h) = atan(1) = 0.785 rad)."""
+    s = _hold_tilt("cube", 0.6)
+    assert float(jnp.max(jnp.abs(s.q_rock))) == 0.0
+    assert not bool(s.toppled)
+
+
+def test_cube_topples_beyond_critical_tilt():
+    """Holding tilt > atan(w/h): the edge torque is overturning from q=0 and
+    the cube must go over (sticky toppled flag)."""
+    s = _hold_tilt("cube", 1.0)
+    assert bool(s.toppled)
+
+
+def test_sphere_and_rolling_axes_never_topple():
+    s = _hold_tilt("sphere", 1.2)
+    assert not bool(s.toppled)
+    assert float(jnp.max(jnp.abs(s.q_rock))) == 0.0
+    # cylinder rolls along x: no rocking on that axis even at huge tilt
+    s = _hold_tilt("cylinder", 1.2)
+    assert not bool(s.toppled)
+
+
+def test_rocking_lands_inelastically():
+    """A super-critical pulse followed by levelling the tray: the cube must
+    land back on its face (q -> 0, rocking energy absorbed), not chatter."""
+    dt = 0.002
+    params = to_mod.make_params(shape="cube", mu=0.2, dtype=jnp.float64)
+    s = to_mod.init_state(dtype=jnp.float64)
+    u_hi = jnp.asarray([0.9, 0.0], jnp.float64)
+    u_lo = jnp.zeros(2, jnp.float64)
+    step_hi = jax.jit(lambda s: to_mod.step_object(s, u_hi, jnp.zeros(2),
+                                                   params, dt))
+    step_lo = jax.jit(lambda s: to_mod.step_object(s, u_lo, jnp.zeros(2),
+                                                   params, dt))
+    for _ in range(60):           # 120 ms pulse: lifts the edge
+        s = step_hi(s)
+    assert float(jnp.abs(s.q_rock[0])) > 0.0
+    assert not bool(s.toppled)
+    for _ in range(2000):
+        s = step_lo(s)
+    assert float(jnp.abs(s.q_rock[0])) == 0.0
+    assert float(jnp.abs(s.w_rock[0])) == 0.0
+    assert not bool(s.toppled)
+    # (it did slide off the tray during the pulse -- tan 0.9 >> mu -- so
+    # contact_lost is still true via off_tray; toppling alone must be false)
+    assert bool(to_mod.off_tray(s))
+
+
+def test_liftoff_threshold_matches_static_criterion():
+    """q lifts off iff |g_t| h > w g_n, i.e. tilt > atan(w/h)."""
+    below = _hold_tilt("cube", 0.75, T=400)   # below atan(1)=0.7854
+    above = _hold_tilt("cube", 0.82, T=400)
+    assert float(jnp.abs(below.q_rock[0])) == 0.0
+    assert float(jnp.abs(above.q_rock[0])) > 0.0
