@@ -39,7 +39,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from dart_tpu.control import mpc as mpc_mod
-    from dart_tpu.io.logging import EpisodeLog
+    from dart_tpu.io.logging import EpisodeLog, to_jsonable
     from dart_tpu.models import dynamics as dyn
     from dart_tpu.physics import tray_object as to_mod
     from dart_tpu.physics.tray_object import _KAPPA_INV
@@ -99,7 +99,7 @@ def main(argv=None):
             "run_s": round(run_s, 3),
             "sim_steps": n_steps,
         }
-        print(json.dumps(out))
+        print(json.dumps(to_jsonable(out)))
         return 0
 
     err = np.linalg.norm(ps - np.asarray(args.target), axis=1)
@@ -126,7 +126,7 @@ def main(argv=None):
         out["log_path"] = log.save_npz(args.log_dir, args.object_name,
                                        args.mass, args.friction, args.target,
                                        args.tolerance)
-    print(json.dumps(out))
+    print(json.dumps(to_jsonable(out)))
     return 0
 
 

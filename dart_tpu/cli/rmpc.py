@@ -29,7 +29,8 @@ def main(argv=None):
 
     if args.f64:
         jax.config.update("jax_enable_x64", True)
-    from dart_tpu.io.logging import episode_json_name, save_episodes_json
+    from dart_tpu.io.logging import (episode_json_name,
+                                     save_episodes_json, to_jsonable)
     from dart_tpu.physics.tray_object import _KAPPA_INV
     from dart_tpu.rollout.evaluate import make_rmpc_evaluator
     from dart_tpu.utils.timing import timed_call
@@ -73,7 +74,7 @@ def main(argv=None):
         path = os.path.join(args.save, name)
         save_episodes_json(path, [episode])
         result["log_path"] = path
-    print(json.dumps(result))
+    print(json.dumps(to_jsonable(result)))
     return 0
 
 

@@ -24,6 +24,7 @@ def main(argv=None):
 
     if args.f64:
         jax.config.update("jax_enable_x64", True)
+    from dart_tpu.io.logging import to_jsonable
     from dart_tpu.io import scenes
     from dart_tpu.parallel import sweep as sweep_mod
     from dart_tpu.rollout.evaluate import (make_mppi_evaluator,
@@ -64,7 +65,8 @@ def main(argv=None):
         "mean_effort": round(float(agg.mean_effort), 4),
         "devices": len(jax.devices()),
     }
-    print(json.dumps({"summary": summary, "scenarios": rows}, indent=1))
+    print(json.dumps(to_jsonable({"summary": summary,
+                                  "scenarios": rows}), indent=1))
     return 0
 
 

@@ -124,6 +124,8 @@ def to_jsonable(x):
         return [to_jsonable(v) for v in x]
     if isinstance(x, np.ndarray):
         return to_jsonable(x.tolist())
+    if isinstance(x, (bool, np.bool_)):
+        return bool(x)
     if isinstance(x, (np.floating, float)):
         xf = float(x)
         return None if np.isnan(xf) or np.isinf(xf) else xf
