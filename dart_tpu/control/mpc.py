@@ -321,9 +321,9 @@ class LMPC:
     """MPC over the 34-parameter learned model (nx=8, nu=2)."""
 
     def __init__(self, N: int = 20, dt: float = 0.002, u_bound: float = 0.4,
-                 cfg: ilqr.ILQRConfig = ilqr.ILQRConfig()):
+                 cfg: ilqr.ILQRConfig = ilqr.ILQRConfig(), fast: bool = False):
         self.N, self.dt = N, dt
-        self.ocp = make_lmpc_ocp(dt=dt, u_bound=u_bound)
+        self.ocp = make_lmpc_ocp(dt=dt, u_bound=u_bound, fast=fast)
         self.cfg = cfg
 
     def init_carry(self, dtype=jnp.float32) -> LMPCCarry:
@@ -350,5 +350,52 @@ class LMPC:
         """
         idx = jnp.minimum(carry.plan_idx, self.N - 1)
         u = carry.U_plan[idx]
+        new_carry = carry._replace(plan_idx=idx + 1, u_prev=u)
+        return new_carry, u
+
+
+class LMPCBatch(LMPC):
+    """Batch-major LMPC: one `solve_batch` (fused Pallas backward on TPU)
+    over the whole scenario batch, with per-lane 34-parameter vectors — the
+    TPU replacement for running one CasADi worker process per scenario
+    (`rlmpc2.py:228-533`). Carry leaves all gain a leading batch dimension.
+    The generic jacfwd linearisation is the measured fast path on XLA
+    (docs/PERFORMANCE.md "Negative result"); pass ``fast=True`` to use the
+    closed-form Jacobians instead.
+    """
+
+    def init_carry_batch(self, batch: int, dtype=jnp.float32) -> LMPCCarry:
+        return jax.vmap(lambda _: self.init_carry(dtype))(jnp.arange(batch))
+
+    def solve_batched(self, carry: LMPCCarry, states: jnp.ndarray,
+                      targets: jnp.ndarray, pvecs: jnp.ndarray,
+                      weights: LMPCWeights = LMPC_DEFAULT_WEIGHTS,
+                      use_pallas: bool = True):
+        """states (B, 8), targets (B, 8), pvecs (B, 34) raw parameters.
+
+        Returns (carry', u (B, 2), diag) — semantics of `LMPC.solve`
+        vectorised over scenarios.
+        """
+        B = states.shape[0]
+        w = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x, states.dtype),
+                                       (B,) + jnp.shape(x)), weights)
+        aux = LMPCAux(target=targets, Q=w.Q, R=w.R, Qt=w.Qt)
+        z0 = jnp.concatenate([states, carry.u_prev], axis=-1)
+        sol = ilqr.solve_batch(self.ocp, self.cfg, pvecs, aux, z0, carry.V,
+                               use_pallas=use_pallas)
+        u = sol.V[:, 0]
+        new_carry = LMPCCarry(
+            V=jnp.concatenate([sol.V[:, 1:], sol.V[:, -1:]], axis=1),
+            U_plan=sol.V,
+            plan_idx=jnp.ones((B,), jnp.int32),
+            u_prev=u)
+        return new_carry, u, _diag(sol)
+
+    def shift_plan_batched(self, carry: LMPCCarry):
+        """Per-lane stale-plan shift (`rlmpc2.py:1013-1018`, batched)."""
+        idx = jnp.minimum(carry.plan_idx, self.N - 1)          # (B,)
+        u = jnp.take_along_axis(carry.U_plan, idx[:, None, None],
+                                axis=1)[:, 0]                  # (B, 2)
         new_carry = carry._replace(plan_idx=idx + 1, u_prev=u)
         return new_carry, u

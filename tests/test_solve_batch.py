@@ -114,3 +114,38 @@ def test_rmpc_batch_controller_matches_per_instance():
         _, u_i, _ = s.solve(carry_i, states[i], targets[i])
         assert np.allclose(np.asarray(u_b[i]), np.asarray(u_i), atol=2e-4), \
             (i, np.asarray(u_b[i]), np.asarray(u_i))
+
+
+def test_lmpc_batch_controller_matches_per_instance():
+    """LMPCBatch.solve_batched (closed-form lin, batch-major) == LMPC.solve
+    (generic autodiff lin, per-instance) — exercises both the batch
+    machinery and the fast-linearisation parity on the 34-param model."""
+    from dart_tpu.control import mpc as mpc_mod
+    B = 3
+    rng = np.random.default_rng(5)
+    cfg = ilqr.ILQRConfig(max_iters=15)
+    b = mpc_mod.LMPCBatch(N=10, dt=0.002, cfg=cfg, fast=True)
+    s = mpc_mod.LMPC(N=10, dt=0.002, cfg=cfg, fast=False)
+    states = jnp.asarray(rng.normal(size=(B, 8)) * 0.03)
+    targets = jnp.asarray(rng.uniform(-0.08, 0.08, size=(B, 8)) *
+                          np.array([1, 0, 1, 0, 0, 0, 0, 0]))
+    pvecs = jnp.asarray(rng.uniform(0.05, 0.3, size=(B, 34)))
+    carry_b = b.init_carry_batch(B, jnp.float64)
+    carry2_b, u_b, _ = b.solve_batched(carry_b, states, targets, pvecs,
+                                       use_pallas=False)
+    for i in range(B):
+        carry_i = s.init_carry(jnp.float64)
+        carry2_i, u_i, _ = s.solve(carry_i, states[i], targets[i], pvecs[i])
+        assert np.allclose(np.asarray(u_b[i]), np.asarray(u_i), atol=2e-4), \
+            (i, np.asarray(u_b[i]), np.asarray(u_i))
+        assert np.allclose(np.asarray(carry2_b.U_plan[i]),
+                           np.asarray(carry2_i.U_plan), atol=5e-4)
+
+    # Per-lane plan shifting agrees with the scalar version.
+    carry3_b, u_shift_b = b.shift_plan_batched(carry2_b)
+    for i in range(B):
+        c_i = mpc_mod.LMPCCarry(V=carry2_b.V[i], U_plan=carry2_b.U_plan[i],
+                                plan_idx=carry2_b.plan_idx[i],
+                                u_prev=carry2_b.u_prev[i])
+        _, u_i = s.shift_plan(c_i)
+        assert np.allclose(np.asarray(u_shift_b[i]), np.asarray(u_i))
