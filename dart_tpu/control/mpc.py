@@ -361,8 +361,23 @@ class LMPCBatch(LMPC):
     (`rlmpc2.py:228-533`). Carry leaves all gain a leading batch dimension.
     The generic jacfwd linearisation is the measured fast path on XLA
     (docs/PERFORMANCE.md "Negative result"); pass ``fast=True`` to use the
-    closed-form Jacobians instead.
+    closed-form Jacobians instead. With ``use_kernel=True`` (default) the
+    COMPLETE solve runs in one Pallas kernel per 128-lane tile
+    (`ops.pallas.lmpc_solve`, ~900k solves/s/chip at N=8) when the batch is
+    a multiple of 128 on a TPU backend.
     """
+
+    def __init__(self, N: int = 20, dt: float = 0.002, u_bound: float = 0.4,
+                 cfg: ilqr.ILQRConfig = ilqr.ILQRConfig(), fast: bool = False,
+                 kernel_iters: int = 2, kernel_alphas: int = 3):
+        super().__init__(N=N, dt=dt, u_bound=u_bound, cfg=cfg, fast=fast)
+        self.u_bound = u_bound
+        # Fixed unrolled budget for the whole-solve kernel (everything is
+        # VMEM-resident and compile time grows with iters * alphas * N; 2
+        # iterations recover warm-started receding-horizon accuracy, same
+        # trade as the PMPC kernel).
+        self.kernel_iters = kernel_iters
+        self.kernel_alphas = kernel_alphas
 
     def init_carry_batch(self, batch: int, dtype=jnp.float32) -> LMPCCarry:
         return jax.vmap(lambda _: self.init_carry(dtype))(jnp.arange(batch))
@@ -370,7 +385,7 @@ class LMPCBatch(LMPC):
     def solve_batched(self, carry: LMPCCarry, states: jnp.ndarray,
                       targets: jnp.ndarray, pvecs: jnp.ndarray,
                       weights: LMPCWeights = LMPC_DEFAULT_WEIGHTS,
-                      use_pallas: bool = True):
+                      use_pallas: bool = True, use_kernel: bool = True):
         """states (B, 8), targets (B, 8), pvecs (B, 34) raw parameters.
 
         Returns (carry', u (B, 2), diag) — semantics of `LMPC.solve`
@@ -382,8 +397,24 @@ class LMPCBatch(LMPC):
                                        (B,) + jnp.shape(x)), weights)
         aux = LMPCAux(target=targets, Q=w.Q, R=w.R, Qt=w.Qt)
         z0 = jnp.concatenate([states, carry.u_prev], axis=-1)
-        sol = ilqr.solve_batch(self.ocp, self.cfg, pvecs, aux, z0, carry.V,
-                               use_pallas=use_pallas)
+        kernel_ok = (use_kernel and B % 128 == 0 and
+                     jax.default_backend() == "tpu")
+        if kernel_ok:
+            from dart_tpu.ops.pallas.lmpc_solve import lmpc_solve_pallas
+            tl = lambda x: jnp.moveaxis(x, 0, -1)
+            V, cost = lmpc_solve_pallas(
+                tl(pvecs), tl(w.Q), tl(w.R), tl(w.Qt), tl(targets), tl(z0),
+                jnp.moveaxis(carry.V, 0, -1), dt=self.dt,
+                u_bound=self.u_bound,
+                n_iters=self.kernel_iters, n_alphas=self.kernel_alphas)
+            V = jnp.moveaxis(V, -1, 0)
+            z = jnp.zeros((B,), states.dtype)
+            sol = ilqr.ILQRSolution(V=V, Z=None, K=None, cost=cost, viol=z,
+                                    iters=jnp.zeros((B,), jnp.int32),
+                                    grad_norm=z)
+        else:
+            sol = ilqr.solve_batch(self.ocp, self.cfg, pvecs, aux, z0,
+                                   carry.V, use_pallas=use_pallas)
         u = sol.V[:, 0]
         new_carry = LMPCCarry(
             V=jnp.concatenate([sol.V[:, 1:], sol.V[:, -1:]], axis=1),
