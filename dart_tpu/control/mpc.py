@@ -187,6 +187,8 @@ class RMPC:
         self.rls_P_max = rls_P_max
         self.step_fraction = step_fraction
         self.u_bound = u_bound
+        self.du_bound = du_bound
+        self.vmax = vmax
         self.slew_exact = slew_exact
         if slew_exact:
             # Recommended mode: slew bounds exact in the DDP box QP.
@@ -245,7 +247,21 @@ class RMPC:
 class RMPCBatch(RMPC):
     """Batch-major RMPC: vectorised RLS/governor/reference + one constrained
     `solve_batch` (fused Pallas backward on TPU) for the whole scenario
-    batch. Carry leaves all gain a leading batch dimension."""
+    batch. Carry leaves all gain a leading batch dimension. With
+    ``use_kernel=True`` (default) and `slew_exact`, the COMPLETE constrained
+    solve — AL outer loop included — runs in one Pallas kernel per 128-lane
+    tile (`ops.pallas.rmpc_solve`) when the batch is a multiple of 128 on a
+    TPU backend."""
+
+    def __init__(self, *args, kernel_iters: int = 2, kernel_alphas: int = 3,
+                 kernel_al_rounds: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        # Fixed unrolled budget for the whole-solve kernel (same trade as
+        # the PMPC/LMPC kernels: warm receding-horizon solves converge in
+        # 1-2 iterations; AL multipliers warm across control steps via V).
+        self.kernel_iters = kernel_iters
+        self.kernel_alphas = kernel_alphas
+        self.kernel_al_rounds = kernel_al_rounds
 
     def init_carry_batch(self, states0: jnp.ndarray,
                          dtype=jnp.float32) -> RMPCCarry:
@@ -254,7 +270,7 @@ class RMPCBatch(RMPC):
     def solve_batched(self, carry: RMPCCarry, states: jnp.ndarray,
                       targets: jnp.ndarray,
                       weights: RMPCWeights = RMPC_DEFAULT_WEIGHTS,
-                      use_pallas: bool = True):
+                      use_pallas: bool = True, use_kernel: bool = True):
         """states (B, 4), targets (B, 4). Returns (carry', u (B, 2), diag)."""
         B = states.shape[0]
 
@@ -280,8 +296,29 @@ class RMPCBatch(RMPC):
             x, states.dtype), (B,)), weights)
         aux = RMPCAux(ref=refs, Qp=w.Qp, Qv=w.Qv, Ru=w.Ru, Rdu=w.Rdu)
         z0 = jnp.concatenate([states, carry.u_prev], axis=-1)
-        sol = ilqr.solve_batch(self.ocp, self.cfg, params, aux, z0, carry.V,
-                               use_pallas=use_pallas)
+        kernel_ok = (use_kernel and self.slew_exact and B % 128 == 0 and
+                     jax.default_backend() == "tpu")
+        if kernel_ok:
+            from dart_tpu.ops.pallas.rmpc_solve import rmpc_solve_pallas
+            tl = lambda x: jnp.moveaxis(x, 0, -1)
+            wk = jnp.stack([w.Qp, w.Qv, w.Ru, w.Rdu])
+            V, cost, viol = rmpc_solve_pallas(
+                tl(theta), tl(refs), wk, tl(z0),
+                jnp.moveaxis(carry.V, 0, -1), dt=self.dt,
+                u_bound=self.u_bound, du_bound=self.du_bound,
+                vmax=self.vmax, v_eps=self.v_eps,
+                n_iters=self.kernel_iters, n_alphas=self.kernel_alphas,
+                al_rounds=self.kernel_al_rounds,
+                mu_init=self.cfg.mu_init, mu_scale=self.cfg.mu_scale,
+                mu_max=self.cfg.mu_max, tol_con=self.cfg.tol_con)
+            V = jnp.moveaxis(V, -1, 0)
+            sol = ilqr.ILQRSolution(V=V, Z=None, K=None, cost=cost,
+                                    viol=viol,
+                                    iters=jnp.zeros((B,), jnp.int32),
+                                    grad_norm=jnp.zeros((B,), states.dtype))
+        else:
+            sol = ilqr.solve_batch(self.ocp, self.cfg, params, aux, z0,
+                                   carry.V, use_pallas=use_pallas)
         if self.slew_exact:
             u = jnp.clip(carry.u_prev + sol.V[:, 0], -self.u_bound,
                          self.u_bound)

@@ -47,31 +47,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dart_tpu.ops.pallas.pmpc_solve import _diag_embed
-from dart_tpu.ops.pallas.riccati import _boxqp2_lanes, _mm, _mT, _mv
+from dart_tpu.ops.pallas.riccati import (_add_diag_vec, _boxqp2_lanes,
+                                         _gains_lanes, _mm, _mT, _mv,
+                                         _rk4_jac_lanes)
 
 LANES = 128
 _G = 9.81   # positive, hard-coded like the reference (`rlmpc2.py:342`)
-
-
-def _add_diag_vec(M, w):
-    """(n,n,L) + diag(w) with w (n,L)."""
-    n = M.shape[0]
-    rows = []
-    for i in range(n):
-        cols = [M[i, j] + w[i] if i == j else M[i, j] for j in range(n)]
-        rows.append(jnp.stack(cols))
-    return jnp.stack(rows)
-
-
-def _scale_add_eye(M, s):
-    """I + s*M for (n,n,L), without materialising an identity."""
-    n = M.shape[0]
-    rows = []
-    for i in range(n):
-        cols = [s * M[i, j] + 1.0 if i == j else s * M[i, j]
-                for j in range(n)]
-        rows.append(jnp.stack(cols))
-    return jnp.stack(rows)
 
 
 def _lmpc_kernel(N, n_iters, n_alphas, dt,
@@ -196,25 +177,7 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
 
     def rk4_jac8(x, v):
         """Exact (Ad, Bd) of the RK4 step (`models.dynamics.rk4_jac`)."""
-        k1 = f8(x, v)
-        x2 = x + 0.5 * dt * k1
-        k2 = f8(x2, v)
-        x3 = x + 0.5 * dt * k2
-        x4 = x + dt * f8(x3, v)
-        A1, B1 = jac8(x, v)
-        A2, B2 = jac8(x2, v)
-        A3, B3 = jac8(x3, v)
-        A4, B4 = jac8(x4, v)
-        dk2x = _mm(A2, _scale_add_eye(A1, 0.5 * dt))
-        dk2u = _mm(A2, 0.5 * dt * B1) + B2
-        dk3x = _mm(A3, _scale_add_eye(dk2x, 0.5 * dt))
-        dk3u = _mm(A3, 0.5 * dt * dk2u) + B3
-        dk4x = _mm(A4, _scale_add_eye(dk3x, dt))
-        dk4u = _mm(A4, dt * dk3u) + B4
-        Ad = _scale_add_eye(A1 + 2.0 * dk2x + 2.0 * dk3x + dk4x, dt / 6.0)
-        # _scale_add_eye gives I + dt/6 * (sum); exactly the rk4_jac form.
-        Bd = dt / 6.0 * (B1 + 2.0 * dk2u + 2.0 * dk3u + dk4u)
-        return Ad, Bd
+        return _rk4_jac_lanes(f8, jac8, x, v, dt)
 
     def stage_cost(x, v, up):
         e = x - target
@@ -279,21 +242,11 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
             hi = u_hi - v_k
             d, free = _boxqp2_lanes(Quu, Qu, lo, hi)
 
-            f0, f1 = free[0], free[1]
-            h00 = Quu[0, 0] * f0 * f0 + (1.0 - f0)
-            h01 = Quu[0, 1] * f0 * f1
-            h11 = Quu[1, 1] * f1 * f1 + (1.0 - f1)
-            deth = h00 * h11 - h01 * h01
-            deth = jnp.where(jnp.abs(deth) < 1e-30, 1e-30, deth)
-
-            def ksolve(b0, b1):
-                b0 = b0 * f0
-                b1 = b1 * f1
-                return (-(h11 * b0 - h01 * b1) / deth,
-                        -(-h01 * b0 + h00 * b1) / deth)
-
-            k1cols = [ksolve(Qux1[0, j], Qux1[1, j]) for j in range(8)]
-            k2cols = [ksolve(Qux2[0, j], Qux2[1, j]) for j in range(2)]
+            cols = _gains_lanes(
+                Quu, free,
+                [(Qux1[0, j], Qux1[1, j]) for j in range(8)]
+                + [(Qux2[0, j], Qux2[1, j]) for j in range(2)])
+            k1cols, k2cols = cols[:8], cols[8:]
             K1 = jnp.stack([jnp.stack([c[0] for c in k1cols]),
                             jnp.stack([c[1] for c in k1cols])])  # (2, 8, L)
             K2 = jnp.stack([jnp.stack([c[0] for c in k2cols]),

@@ -84,6 +84,75 @@ def _add_diag(M, val):
     return jnp.stack(rows)
 
 
+def _add_diag_vec(M, w):
+    """(n,n,L) + diag(w) with w (n,L)."""
+    n = M.shape[0]
+    rows = []
+    for i in range(n):
+        cols = [M[i, j] + w[i] if i == j else M[i, j] for j in range(n)]
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def _scale_add_eye(M, s):
+    """I + s*M for (n,n,L), without materialising an identity."""
+    n = M.shape[0]
+    rows = []
+    for i in range(n):
+        cols = [s * M[i, j] + 1.0 if i == j else s * M[i, j]
+                for j in range(n)]
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def _rk4_jac_lanes(f, jac, x, v, dt, scale_add_eye=None):
+    """Exact (Ad, Bd) of an RK4 step in (n,*,L) lane algebra.
+
+    Mirrors `models.dynamics.rk4_jac` (exact chain rule through the four
+    stages) for in-kernel use where jacfwd is unavailable: f(x,v) -> (n,L),
+    jac(x,v) -> (A (n,n,L), B (n,m,L)).
+    """
+    k1 = f(x, v)
+    x2 = x + 0.5 * dt * k1
+    k2 = f(x2, v)
+    x3 = x + 0.5 * dt * k2
+    x4 = x + dt * f(x3, v)
+    A1, B1 = jac(x, v)
+    A2, B2 = jac(x2, v)
+    A3, B3 = jac(x3, v)
+    A4, B4 = jac(x4, v)
+    dk2x = _mm(A2, _scale_add_eye(A1, 0.5 * dt))
+    dk2u = _mm(A2, 0.5 * dt * B1) + B2
+    dk3x = _mm(A3, _scale_add_eye(dk2x, 0.5 * dt))
+    dk3u = _mm(A3, 0.5 * dt * dk2u) + B3
+    dk4x = _mm(A4, _scale_add_eye(dk3x, dt))
+    dk4u = _mm(A4, dt * dk3u) + B4
+    Ad = _scale_add_eye(A1 + 2.0 * dk2x + 2.0 * dk3x + dk4x, dt / 6.0)
+    Bd = dt / 6.0 * (B1 + 2.0 * dk2u + 2.0 * dk3u + dk4u)
+    return Ad, Bd
+
+
+def _gains_lanes(Quu, free, Qux_cols):
+    """Feedback gains on the free set: solve H K = -(Qux * free) columnwise.
+
+    Quu (2,2,L), free (2,L), Qux_cols an iterable of (2,L) columns.
+    Returns a list of (k0, k1) lane pairs, one per column.
+    """
+    f0, f1 = free[0], free[1]
+    h00 = Quu[0, 0] * f0 * f0 + (1.0 - f0)
+    h01 = Quu[0, 1] * f0 * f1
+    h11 = Quu[1, 1] * f1 * f1 + (1.0 - f1)
+    deth = h00 * h11 - h01 * h01
+    deth = jnp.where(jnp.abs(deth) < 1e-30, 1e-30, deth)
+    out = []
+    for (b0, b1) in Qux_cols:
+        b0 = b0 * f0
+        b1 = b1 * f1
+        out.append((-(h11 * b0 - h01 * b1) / deth,
+                    -(-h01 * b0 + h00 * b1) / deth))
+    return out
+
+
 def _boxqp2_lanes(Quu, Qu, lo, hi):
     """Exact lane-wise 2x2 box QP (mirrors `dart_tpu.ops.boxqp.boxqp2`).
 
