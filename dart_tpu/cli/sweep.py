@@ -16,6 +16,10 @@ def main(argv=None):
     p.add_argument("--tolerance", type=float, default=0.01)
     p.add_argument("--controller", default="pmpc",
                    choices=["pmpc", "rmpc", "mppi"])
+    p.add_argument("--batch_major", action="store_true",
+                   help="rmpc only: run each device's whole shard through "
+                        "one RMPCBatch solve per control step (whole-solve "
+                        "Pallas kernel on TPU; shards padded to 128 lanes)")
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
 
@@ -36,12 +40,21 @@ def main(argv=None):
     n_steps = int(args.runtime / dt)
     maker = {"pmpc": make_pmpc_evaluator, "rmpc": make_rmpc_evaluator,
              "mppi": make_mppi_evaluator}[args.controller]
-    ev = maker(n_steps=n_steps, dt=dt, control_every=5, warmup_steps=250,
-               tol=args.tolerance)
     dtype = jnp.float64 if args.f64 else jnp.float32
     batch = scenes.sweep_grid(targets=targets, dtype=dtype)
     mesh = sweep_mod.make_mesh()
-    res, agg = sweep_mod.run_sweep(ev, batch, mesh)
+    if args.batch_major:
+        if args.controller != "rmpc":
+            p.error("--batch_major currently supports --controller rmpc")
+        from dart_tpu.rollout.evaluate import make_rmpc_batch_evaluator
+        ev = make_rmpc_batch_evaluator(n_steps=n_steps, dt=dt,
+                                       control_every=5, warmup_steps=250,
+                                       tol=args.tolerance)
+        res, agg = sweep_mod.run_sweep_batched(ev, batch, mesh)
+    else:
+        ev = maker(n_steps=n_steps, dt=dt, control_every=5, warmup_steps=250,
+                   tol=args.tolerance)
+        res, agg = sweep_mod.run_sweep(ev, batch, mesh)
 
     rows = []
     from dart_tpu.physics.tray_object import SHAPES

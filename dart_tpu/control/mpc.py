@@ -105,7 +105,9 @@ class PMPCBatch:
 
     def __init__(self, N: int = 15, dt: float = 0.002, u_bound: float = 0.6,
                  cfg: ilqr.ILQRConfig = ilqr.ILQRConfig(max_iters=4),
-                 use_pallas: bool = True, fast: bool = True):
+                 use_pallas: bool = True, fast: bool = True,
+                 use_kernel: bool = True, kernel_iters: int = 2,
+                 kernel_alphas: int = 3):
         self.N, self.dt, self.u_bound = N, dt, u_bound
         self.ocp = make_pmpc_ocp(dt=dt, u_bound=u_bound)
         self.cfg = cfg
@@ -113,6 +115,11 @@ class PMPCBatch:
         # `fast`: exploit the affine-in-state structure of the PMPC dynamics
         # (`solver.pmpc_fast`; identical solutions, ~2.5x throughput).
         self.fast = fast
+        # `use_kernel`: whole-solve Pallas kernel (`ops.pallas.pmpc_solve`)
+        # when on TPU with B % 128 == 0 — the headline throughput path.
+        self.use_kernel = use_kernel
+        self.kernel_iters = kernel_iters
+        self.kernel_alphas = kernel_alphas
 
     def init_carry(self, B: int, dtype=jnp.float32) -> PMPCCarry:
         return PMPCCarry(V=jnp.zeros((B, self.N, 2), dtype))
@@ -126,7 +133,17 @@ class PMPCBatch:
         bc = lambda x: jnp.broadcast_to(jnp.asarray(x, states.dtype), (B,))
         aux = PMPCAux(target=targets, Qp=bc(weights.Qp), Qv=bc(weights.Qv),
                       R=bc(weights.R))
-        if self.fast:
+        kernel_ok = (self.use_kernel and self.fast and B % 128 == 0
+                     and jax.default_backend() == "tpu")
+        if kernel_ok:
+            from dart_tpu.solver import pmpc_fast
+            V, cost = pmpc_fast.solve_batch_kernel(
+                bc(params.mu), aux, states, carry.V, dt=self.dt,
+                u_bound=self.u_bound, n_iters=self.kernel_iters,
+                n_alphas=self.kernel_alphas)
+            z = jnp.zeros((B,), states.dtype)
+            diag = SolveDiag(cost, z, jnp.zeros((B,), jnp.int32), z)
+        elif self.fast:
             from dart_tpu.solver import pmpc_fast
             V, Z, cost = pmpc_fast.solve_batch_fast(
                 bc(params.mu), aux, states, carry.V, dt=self.dt,

@@ -43,13 +43,35 @@ def run_sweep(evaluate: Callable, batch: ScenarioBatch, mesh: Mesh,
 
     `evaluate(kappa_inv, mass, mu, target_xy) -> PMPCScenarioResult`.
     """
+    return _run(lambda s: jax.vmap(lambda k, m, mu, t: evaluate(k, m, mu, t))(
+        s.kappa_inv, s.mass, s.mu, s.target_xy), batch, mesh, axis, 1)
+
+
+def run_sweep_batched(evaluate_batch: Callable, batch: ScenarioBatch,
+                      mesh: Mesh, axis: str = "scenario",
+                      lane_multiple: int = 128):
+    """Batch-major sweep: each device runs its WHOLE scenario shard through
+    one batched evaluator call (e.g. `make_rmpc_batch_evaluator`) instead of
+    vmapped per-scenario episodes. Shards are padded to `lane_multiple` so
+    the whole-solve Pallas kernels engage (128-lane tiles on TPU); the mesh
+    axis stays pure data parallelism with a psum only at the aggregate.
+
+    `evaluate_batch(kappa_inv (B,2), mass (B,), mu (B,), target_xy (B,2))
+    -> PMPCScenarioResult` with per-lane metrics.
+    """
+    return _run(lambda s: evaluate_batch(s.kappa_inv, s.mass, s.mu,
+                                         s.target_xy),
+                batch, mesh, axis, lane_multiple)
+
+
+def _run(eval_shard: Callable, batch: ScenarioBatch, mesh: Mesh,
+         axis: str, lane_multiple: int):
     n_dev = mesh.devices.size
-    padded, n_real = pad_to_multiple(batch, n_dev)
+    padded, n_real = pad_to_multiple(batch, n_dev * lane_multiple)
     valid = (jnp.arange(padded.size) < n_real).astype(batch.mass.dtype)
 
     def shard_fn(shard: ScenarioBatch, valid: jnp.ndarray):
-        res = jax.vmap(lambda k, m, mu, t: evaluate(k, m, mu, t))(
-            shard.kappa_inv, shard.mass, shard.mu, shard.target_xy)
+        res = eval_shard(shard)
         m = res.metrics
         conv = m.converged.astype(valid.dtype) * valid
         agg = SweepAggregate(

@@ -256,3 +256,169 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
         return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
 
     return evaluate
+
+
+def _tray_params(shape_kappa_inv, mass, mu, dtype):
+    """Scenario row -> TrayObjectParams (vmappable)."""
+    return to_mod.TrayObjectParams(
+        mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
+        slip_eps=jnp.asarray(2e-3, dtype),
+        omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
+        tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
+        half_w=jnp.asarray([0.025, 0.025], dtype),
+        h_com=jnp.asarray(0.025, dtype),
+        topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
+
+
+def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
+                              control_every: int = 5, warmup_steps: int = 250,
+                              N: int = 15, u_bound: float = 0.6,
+                              max_iters: int = 4, tol: float = 0.01,
+                              use_kernel: bool = True):
+    """Batch-major PMPC evaluator: B scenarios in ONE jitted scan, one
+    `PMPCBatch.solve` per control step — the whole-solve Pallas kernel
+    (`ops.pallas.pmpc_solve`) on TPU when B % 128 == 0. Per-object weight
+    tables selected per lane, matching `make_pmpc_evaluator`."""
+    ctrl_dt = dt * control_every
+    ctlr = mpc_mod.PMPCBatch(N=N, dt=ctrl_dt, u_bound=u_bound,
+                             cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters),
+                             use_kernel=use_kernel)
+    step_plant = jax.vmap(to_mod.step, in_axes=(0, 0, 0, None))
+
+    def evaluate(shape_kappa_inv, mass, mu, target_xy, assumed_mu=None):
+        dtype = mass.dtype
+        B = mass.shape[0]
+        obj_params = jax.vmap(
+            lambda k, m, f: _tray_params(k, m, f, dtype))(
+                shape_kappa_inv, mass, mu)
+        model_mu = mu if assumed_mu is None else assumed_mu
+        params = dyn.PMPCParams(mu=model_mu, dt=ctrl_dt)
+        shape_id = jnp.where(shape_kappa_inv[:, 1] > 0, 2,
+                             jnp.where(shape_kappa_inv[:, 0] > 0, 1, 0))
+        weights = jax.vmap(lambda s: _select_weights(s, dtype))(shape_id)
+        zero = jnp.zeros((B,), dtype)
+        target6 = jnp.stack([target_xy[:, 0], zero, target_xy[:, 1], zero,
+                             jnp.full((B,), 0.43, dtype), zero], axis=-1)
+
+        def observe(s):
+            pos, vel = jax.vmap(to_mod.observe_world)(s, obj_params)
+            return jnp.stack([pos[:, 0], vel[:, 0], pos[:, 1], vel[:, 1],
+                              pos[:, 2], vel[:, 2]], axis=-1)
+
+        def stepf(carry, k):
+            ctrl_carry, s, u_held = carry
+            obs = observe(s)
+            do_solve = (k >= warmup_steps) & \
+                ((k - warmup_steps) % control_every == 0)
+
+            def s_branch(c):
+                c2, u, _ = ctlr.solve(c, obs, target6, params, weights)
+                return c2, u
+
+            def h_branch(c):
+                return c, u_held
+
+            ctrl_carry, u = jax.lax.cond(do_solve, s_branch, h_branch,
+                                         ctrl_carry)
+            u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
+            s = step_plant(s, u_apply, obj_params, dt)
+            return (ctrl_carry, s, u), (s.p, u_apply)
+
+        s0 = jax.vmap(lambda _: to_mod.init_state(dtype=dtype))(zero)
+        (_, s_fin, _), (ps, us) = jax.lax.scan(
+            stepf, (ctlr.init_carry(B, dtype), s0, jnp.zeros((B, 2), dtype)),
+            jnp.arange(n_steps))
+        zt = jnp.zeros_like(ps[:, :, 0])
+        X = jnp.stack([ps[:, :, 0], zt, ps[:, :, 1], zt], axis=-1)
+        m = jax.vmap(lambda Xi, Ui, ti: compute_metrics(Xi, Ui, ti, dt,
+                                                        tol=tol),
+                     in_axes=(1, 1, 0))(X, us, target_xy)
+        return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
+
+    return evaluate
+
+
+def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
+                              control_every: int = 5, warmup_steps: int = 250,
+                              N: int = 20, max_iters: int = 10,
+                              tol: float = 0.01, use_kernel: bool = True):
+    """Batch-major RMPC evaluator: B scenarios advance in ONE jitted scan.
+
+    Where `make_rmpc_evaluator` is a per-scenario episode to be vmapped,
+    here the whole scenario batch shares one `RMPCBatch.solve_batched` per
+    control step — on TPU with B % 128 == 0 that is the whole-solve Pallas
+    kernel (`ops.pallas.rmpc_solve`), so a full 18-config x target sweep
+    runs its RLS + governor + constrained solves without leaving the
+    device. Freeze-at-convergence matches the per-instance evaluator
+    (`rob_ctrl.py:391-414` semantics), applied per lane.
+
+    Returns `evaluate(kappa_inv (B,2), mass (B,), mu (B,), target_xy (B,2))
+    -> PMPCScenarioResult` with per-lane Metrics.
+    """
+    ctrl_dt = dt * control_every
+    ctlr = mpc_mod.RMPCBatch(
+        N=N, dt=ctrl_dt,
+        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters, al_iters=3))
+    step_plant = jax.vmap(to_mod.step, in_axes=(0, 0, 0, None))
+
+    def evaluate(shape_kappa_inv, mass, mu, target_xy):
+        dtype = mass.dtype
+        B = mass.shape[0]
+        obj_params = jax.vmap(
+            lambda k, m, f: _tray_params(k, m, f, dtype))(
+                shape_kappa_inv, mass, mu)
+        zero = jnp.zeros((B,), dtype)
+        target4 = jnp.stack([target_xy[:, 0], zero, target_xy[:, 1], zero],
+                            axis=-1)
+
+        def observe(s):
+            pos, vel = jax.vmap(to_mod.observe_world)(s, obj_params)
+            return jnp.stack([pos[:, 0], vel[:, 0], pos[:, 1], vel[:, 1]],
+                             axis=-1)
+
+        def lane_where(mask, a, b):
+            """Per-lane select with leading-B leaves."""
+            return jax.tree.map(
+                lambda x, y: jnp.where(
+                    mask.reshape((B,) + (1,) * (x.ndim - 1)), x, y), a, b)
+
+        def stepf(carry, k):
+            ctrl_carry, s, u_held, stopped = carry
+            obs = observe(s)
+            do_solve = (k >= warmup_steps) & \
+                ((k - warmup_steps) % control_every == 0)
+
+            def s_branch(c):
+                c2, u, _ = ctlr.solve_batched(c, obs, target4,
+                                              use_kernel=use_kernel)
+                return c2, u
+
+            def h_branch(c):
+                return c, u_held
+
+            cc_new, u_new = jax.lax.cond(do_solve, s_branch, h_branch,
+                                         ctrl_carry)
+            # Freeze converged lanes: keep their carry and held control.
+            ctrl_carry = lane_where(stopped, ctrl_carry, cc_new)
+            u = jnp.where(stopped[:, None], u_held, u_new)
+            u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
+            s_next = step_plant(s, u_apply, obj_params, dt)
+            err = jnp.sqrt((s_next.p[:, 0] - target_xy[:, 0]) ** 2
+                           + (s_next.p[:, 1] - target_xy[:, 1]) ** 2)
+            stopped_n = stopped | ((k >= warmup_steps) & (err < tol))
+            s_keep = lane_where(stopped, s, s_next)
+            return (ctrl_carry, s_keep, u, stopped_n), (s_keep.p, u_apply)
+
+        s0 = jax.vmap(lambda _: to_mod.init_state(dtype=dtype))(zero)
+        carry0 = ctlr.init_carry_batch(observe(s0), dtype)
+        (_, s_fin, _, _), (ps, us) = jax.lax.scan(
+            stepf, (carry0, s0, jnp.zeros((B, 2), dtype),
+                    jnp.zeros((B,), bool)), jnp.arange(n_steps))
+        zt = jnp.zeros_like(ps[:, :, 0])
+        X = jnp.stack([ps[:, :, 0], zt, ps[:, :, 1], zt], axis=-1)  # (T,B,4)
+        m = jax.vmap(lambda Xi, Ui, ti: compute_metrics(Xi, Ui, ti, dt,
+                                                        tol=tol),
+                     in_axes=(1, 1, 0))(X, us, target_xy)
+        return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
+
+    return evaluate

@@ -47,3 +47,28 @@ def test_sharded_sweep_matches_vmap_and_succeeds():
     assert float(agg.n) == 18.0
     assert float(agg.n_converged) == conv.sum()
     assert float(agg.mean_sse) < 0.01
+
+
+def test_batched_sweep_runs_and_aggregates():
+    """run_sweep_batched: the 18-config RMPC sweep, one batched evaluator
+    call per device shard, lanes padded per shard; padding rows must not
+    leak into the aggregate."""
+    from dart_tpu.rollout.evaluate import make_rmpc_batch_evaluator
+    assert len(jax.devices()) >= 8
+    ev = make_rmpc_batch_evaluator(n_steps=600, dt=0.002, control_every=5,
+                                   warmup_steps=100, N=8, max_iters=6,
+                                   use_kernel=False)
+    batch = scenes.sweep_grid(targets=((0.05, -0.04),), dtype=jnp.float32)
+    mesh = sweep_mod.make_mesh(8)
+    res, agg = sweep_mod.run_sweep_batched(ev, batch, mesh, lane_multiple=4)
+    assert res.metrics.converged.shape == (18,)
+    assert float(agg.n) == 18.0
+    conv = np.asarray(res.metrics.converged)
+    assert float(agg.n_converged) == conv.sum()
+
+    # Sharded+padded == the direct unsharded batch call (lanes are
+    # independent; padding must not perturb the real rows).
+    ref = jax.jit(ev)(batch.kappa_inv, batch.mass, batch.mu, batch.target_xy)
+    assert np.allclose(np.asarray(res.metrics.steady_state_error),
+                       np.asarray(ref.metrics.steady_state_error), atol=1e-6)
+    assert np.array_equal(conv, np.asarray(ref.metrics.converged))
