@@ -58,7 +58,7 @@ def main():
     plant_v = jax.vmap(lambda x, u, mu: plant(x, u, dyn.PMPCParams(mu=mu,
                                                                    dt=DT)))
 
-    def make_loop(solver):
+    def make_loop(solver, n_steps):
         @jax.jit
         def closed_loop(x0, V0):
             def f(c, _):
@@ -68,8 +68,8 @@ def main():
                 Vn = jnp.concatenate([Vs[:, 1:], Vs[:, -1:]], axis=1)
                 return (plant_v(x, u, mus), Vn), u
 
-            (_, _), us = jax.lax.scan(f, (x0, V0), None, length=T)
-            return us
+            (xf, Vf), us = jax.lax.scan(f, (x0, V0), None, length=n_steps)
+            return xf, Vf, us
 
         return closed_loop
 
@@ -83,26 +83,49 @@ def main():
                                               max_iters=4)
         return Vs
 
-    x0 = jnp.zeros((B, 6), jnp.float32)
+    # Timing through the remote-dispatch tunnel is treacherous: results of
+    # repeated dispatches can be cached, and `block_until_ready` is not a
+    # trustworthy sync point. So: (a) fresh (salted) initial states, (b)
+    # every timed dispatch ends in a HOST FETCH, (c) the reported number is
+    # the SLOPE between a T-step and a 4T-step rollout, cancelling the
+    # ~25-30 ms dispatch round trip and any constant overhead.
+    salt = float(np.frombuffer(__import__("os").urandom(2),
+                               np.uint16)[0]) / 65536.0
+    x0 = jnp.zeros((B, 6), jnp.float32) + 1e-3 * salt
     carry0 = jnp.zeros((B, N, 2), jnp.float32)
+
+    def timed(loop, x):
+        best = None
+        for r in range(2):
+            t0 = time.time()
+            xf, Vf, U = loop(x + 1e-4 * (r + 1), carry0)
+            checksum = float(jnp.sum(xf))        # host fetch = sync
+            dt_r = time.time() - t0
+            best = dt_r if best is None else min(best, dt_r)
+        return best, checksum
+
     try:
-        closed_loop = make_loop(kernel_solver)
-        U = jax.block_until_ready(closed_loop(x0, carry0))  # compile
+        loop1 = make_loop(kernel_solver, T)
+        loop4 = make_loop(kernel_solver, 4 * T)
+        xf, Vf, U = loop1(x0, carry0)
+        float(jnp.sum(xf))                       # compile + first exec
     except Exception:
-        closed_loop = make_loop(xla_solver)
-        U = jax.block_until_ready(closed_loop(x0, carry0))
+        loop1 = make_loop(xla_solver, T)
+        loop4 = make_loop(xla_solver, 4 * T)
+        xf, Vf, U = loop1(x0, carry0)
+        float(jnp.sum(xf))
     if not bool(jnp.all(jnp.isfinite(U))):
         print(json.dumps({"metric": "pmpc_solves_per_sec_per_chip",
                           "value": 0.0, "unit": "solves/s",
                           "vs_baseline": 0.0, "error": "non-finite controls"}))
         return 1
 
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        U = jax.block_until_ready(closed_loop(x0, carry0))
-    elapsed = (time.time() - t0) / reps
-    solves_per_s = B * T / elapsed
+    t1, _ = timed(loop1, x0)
+    xf4, Vf4, U4 = loop4(x0, carry0)             # compile 4T variant
+    float(jnp.sum(xf4))
+    t4, _ = timed(loop4, x0)
+    elapsed = max((t4 - t1) / (3 * T), 1e-9)     # per (solve + plant) step
+    solves_per_s = B / elapsed
 
     print(json.dumps({
         "metric": "pmpc_solves_per_sec_per_chip",

@@ -332,22 +332,32 @@ def lmpc_solve_pallas(pvec, Q, R, Qt, target, z0, V0,
 
     kernel = functools.partial(_lmpc_kernel, N, n_iters, n_alphas, dt)
 
+    # Batch folded onto (S, 128) sublane x lane tiles (full f32 vregs per
+    # "lane scalar", 1024 scenarios/tile) when the batch allows; the kernel
+    # body is shape-polymorphic over the trailing tile dims.
+    S = 8 if Bt % (8 * LANES) == 0 else 1
+    G = Bt // (S * LANES)
+
+    def fold(x):
+        return x.reshape(*x.shape[:-1], G * S, LANES)
+
     def spec(shape):
         def imap(i):
-            return tuple([0] * (len(shape) - 1) + [i])
-        block = tuple(list(shape[:-1]) + [LANES])
+            return tuple([0] * (len(shape) - 1) + [i, 0])
+        block = tuple(list(shape[:-1]) + [S, LANES])
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
     V, cost = pl.pallas_call(
         kernel,
-        grid=(Bt // LANES,),
+        grid=(G,),
         in_specs=[spec((34, Bt)), spec((8, Bt)), spec((4, Bt)),
                   spec((8, Bt)), spec((8, Bt)), spec((10, Bt)),
                   spec((N, 2, Bt)), spec((2, Bt)), spec((2, Bt))],
         out_specs=[spec((N, 2, Bt)), spec((1, Bt))],
-        out_shape=[jax.ShapeDtypeStruct((N, 2, Bt), dtype),
-                   jax.ShapeDtypeStruct((1, Bt), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((N, 2, G * S, LANES), dtype),
+                   jax.ShapeDtypeStruct((1, G * S, LANES), dtype)],
         interpret=interpret,
-    )(pvec.astype(dtype), Q.astype(dtype), R.astype(dtype),
-      Qt.astype(dtype), target.astype(dtype), z0.astype(dtype), V0, lo, hi)
-    return V, cost[0]
+    )(fold(pvec.astype(dtype)), fold(Q.astype(dtype)), fold(R.astype(dtype)),
+      fold(Qt.astype(dtype)), fold(target.astype(dtype)),
+      fold(z0.astype(dtype)), fold(V0), fold(lo), fold(hi))
+    return V.reshape(N, 2, Bt), cost.reshape(Bt)

@@ -201,24 +201,33 @@ def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
     hi = jnp.full((2, Bt), u_bound, dtype)
     rw2 = rw[None, :].astype(dtype)
 
+    # Batch folded onto (S, 128) sublane x lane tiles — full f32 vregs per
+    # "lane scalar" (1024 scenarios/tile) when the batch allows; the kernel
+    # body is shape-polymorphic over the trailing tile dims.
+    S = 8 if Bt % (8 * LANES) == 0 else 1
+    G = Bt // (S * LANES)
+
     kernel = functools.partial(_pmpc_kernel, N, n_iters, n_alphas,
                                float(g), dt)
 
+    def fold(x):
+        return x.reshape(*x.shape[:-1], G * S, LANES)
+
     def spec(shape):
         def imap(i):
-            return tuple([0] * (len(shape) - 1) + [i])
-        block = tuple(list(shape[:-1]) + [LANES])
+            return tuple([0] * (len(shape) - 1) + [i, 0])
+        block = tuple(list(shape[:-1]) + [S, LANES])
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
     V, cost = pl.pallas_call(
         kernel,
-        grid=(Bt // LANES,),
+        grid=(G,),
         in_specs=[spec((6, 6, Bt)), spec((6, 6, Bt)), spec((6, Bt)),
                   spec((1, Bt)), spec((6, Bt)), spec((6, Bt)),
                   spec((N, 2, Bt)), spec((2, Bt)), spec((2, Bt))],
         out_specs=[spec((N, 2, Bt)), spec((1, Bt))],
-        out_shape=[jax.ShapeDtypeStruct((N, 2, Bt), dtype),
-                   jax.ShapeDtypeStruct((1, Bt), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((N, 2, G * S, LANES), dtype),
+                   jax.ShapeDtypeStruct((1, G * S, LANES), dtype)],
         interpret=interpret,
-    )(Ad, Sd, wdiag, rw2, target, z0, V0, lo, hi)
-    return V, cost[0]
+    )(*map(fold, (Ad, Sd, wdiag, rw2, target, z0, V0, lo, hi)))
+    return V.reshape(N, 2, Bt), cost.reshape(Bt)

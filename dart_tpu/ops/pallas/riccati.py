@@ -36,24 +36,24 @@ _BIG = 1e30
 
 
 def _mm(a, b):
-    """(n,k,L) @ (k,m,L) -> (n,m,L), unrolled lane algebra.
+    """(n,k,L) @ (k,m,L) -> (n,m,L), row-blocked lane algebra.
 
-    Each entry is a (L,)-lane vector FMA chain; Mosaic fuses these into VPU
-    ops. (A blocked broadcast formulation would use sublanes better but the
-    required >2D strided indexing does not lower in Mosaic today.)
+    Row i of the result is one chain of k FMAs on (m, L) tiles:
+    ``C[i] = sum_t a[i,t] * b[t]`` with the (L,) scalar-lane vector
+    broadcast across the m sublanes — n*k vector ops instead of the naive
+    n*m*k on (1, L) slices, same per-element FMA order (bitwise identical).
+    Only leading-dim indexing and 2D broadcasts, which Mosaic lowers (the
+    earlier >2D strided formulation did not).
     """
-    n, k1, L = a.shape
-    k2, m, _ = b.shape
+    n, k1 = a.shape[0], a.shape[1]
+    k2, m = b.shape[0], b.shape[1]
     assert k1 == k2
     rows = []
     for i in range(n):
-        cols = []
-        for j in range(m):
-            acc = a[i, 0] * b[0, j]
-            for t in range(1, k1):
-                acc = acc + a[i, t] * b[t, j]
-            cols.append(acc)
-        rows.append(jnp.stack(cols))
+        acc = a[i, 0][None] * b[0]
+        for t in range(1, k1):
+            acc = acc + a[i, t][None] * b[t]
+        rows.append(acc)
     return jnp.stack(rows)
 
 
@@ -63,7 +63,7 @@ def _mT(a):
 
 def _mv(a, v):
     """(n,k,L) @ (k,L) -> (n,L)."""
-    n, k, L = a.shape
+    n, k = a.shape[0], a.shape[1]
     out = []
     for i in range(n):
         acc = a[i, 0] * v[0]
@@ -287,7 +287,6 @@ def riccati_backward_pallas(A, B, lx, lu, lxx, lux, luu, gx, gxx, V,
     """
     N, nz, _, Bt = A.shape
     assert Bt % LANES == 0, f"batch {Bt} must be a multiple of {LANES}"
-    n_tiles = Bt // LANES
     dtype = A.dtype
 
     lo_b = jnp.broadcast_to(u_lo[:, None], (2, Bt)).astype(dtype)
@@ -299,19 +298,26 @@ def riccati_backward_pallas(A, B, lx, lu, lxx, lux, luu, gx, gxx, V,
 
     kernel = functools.partial(_backward_kernel, nz, N)
 
+    # Batch folded onto (S, 128) sublane x lane tiles when possible (full
+    # f32 vregs per "lane scalar"); kernel body is shape-polymorphic.
+    S = 8 if Bt % (8 * LANES) == 0 else 1
+    G = Bt // (S * LANES)
+
+    def fold(x):
+        return x.reshape(*x.shape[:-1], G * S, LANES)
+
     def spec(shape):
-        # tile the last (lane) axis
         def imap(i):
-            return tuple([0] * (len(shape) - 1) + [i])
-        block = tuple(list(shape[:-1]) + [LANES])
+            return tuple([0] * (len(shape) - 1) + [i, 0])
+        block = tuple(list(shape[:-1]) + [S, LANES])
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
-    out_D = jax.ShapeDtypeStruct((N, 2, Bt), dtype)
-    out_K = jax.ShapeDtypeStruct((N, 2, nz, Bt), dtype)
+    out_D = jax.ShapeDtypeStruct((N, 2, G * S, LANES), dtype)
+    out_K = jax.ShapeDtypeStruct((N, 2, nz, G * S, LANES), dtype)
 
     D, K = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(G,),
         in_specs=[
             spec((N, nz, nz, Bt)), spec((N, nz, 2, Bt)),
             spec((N, nz, Bt)), spec((N, 2, Bt)),
@@ -325,5 +331,6 @@ def riccati_backward_pallas(A, B, lx, lu, lxx, lux, luu, gx, gxx, V,
         out_specs=[spec((N, 2, Bt)), spec((N, 2, nz, Bt))],
         out_shape=[out_D, out_K],
         interpret=interpret,
-    )(A, B, lx, lu, lxx, lux, luu, gx, gxx, V, lo_b, hi_b, reg_arr)
-    return D, K
+    )(*map(fold, (A, B, lx, lu, lxx, lux, luu, gx, gxx, V, lo_b, hi_b,
+                  reg_arr)))
+    return D.reshape(N, 2, Bt), K.reshape(N, 2, nz, Bt)

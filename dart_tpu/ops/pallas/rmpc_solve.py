@@ -326,26 +326,37 @@ def rmpc_solve_pallas(theta, ref, w, z0, V0, dt: float,
     dtype = V0.dtype
     V0 = jnp.clip(V0, -du_bound, du_bound)
 
+    # Tile = (S, 128) with the batch folded onto SUBLANES too: a full
+    # (8, 128) f32 vreg per "lane scalar" (1024 scenarios/tile) when the
+    # batch allows, falling back to single-sublane tiles. The kernel body
+    # is shape-polymorphic over the trailing tile dims.
+    S = 8 if Bt % (8 * LANES) == 0 else 1
+    G = Bt // (S * LANES)
+
     kernel = functools.partial(_rmpc_kernel, N, n_iters, n_alphas, al_rounds,
                                dt, u_bound, du_bound, vmax, v_eps,
                                mu_init, mu_scale, mu_max, tol_con)
 
+    def fold(x):
+        return x.reshape(*x.shape[:-1], G * S, LANES)
+
     def spec(shape):
         def imap(i):
-            return tuple([0] * (len(shape) - 1) + [i])
-        block = tuple(list(shape[:-1]) + [LANES])
+            return tuple([0] * (len(shape) - 1) + [i, 0])
+        block = tuple(list(shape[:-1]) + [S, LANES])
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
     V, cost, viol = pl.pallas_call(
         kernel,
-        grid=(Bt // LANES,),
+        grid=(G,),
         in_specs=[spec((14, Bt)), spec((N + 1, 4, Bt)), spec((4, Bt)),
                   spec((6, Bt)), spec((N, 2, Bt))],
         out_specs=[spec((N, 2, Bt)), spec((1, Bt)), spec((1, Bt))],
-        out_shape=[jax.ShapeDtypeStruct((N, 2, Bt), dtype),
-                   jax.ShapeDtypeStruct((1, Bt), dtype),
-                   jax.ShapeDtypeStruct((1, Bt), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((N, 2, G * S, LANES), dtype),
+                   jax.ShapeDtypeStruct((1, G * S, LANES), dtype),
+                   jax.ShapeDtypeStruct((1, G * S, LANES), dtype)],
         interpret=interpret,
-    )(theta.astype(dtype), ref.astype(dtype), w.astype(dtype),
-      z0.astype(dtype), V0)
-    return V, cost[0], viol[0]
+    )(fold(theta.astype(dtype)), fold(ref.astype(dtype)),
+      fold(w.astype(dtype)), fold(z0.astype(dtype)), fold(V0))
+    V = V.reshape(N, 2, Bt)
+    return V, cost.reshape(Bt), viol.reshape(Bt)
