@@ -341,7 +341,9 @@ def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
 def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
                               control_every: int = 5, warmup_steps: int = 250,
                               N: int = 20, max_iters: int = 10,
-                              tol: float = 0.01, use_kernel: bool = True):
+                              tol: float = 0.01, use_kernel: bool = True,
+                              kernel_iters: int = 6, kernel_alphas: int = 4,
+                              kernel_al_rounds: int = 3):
     """Batch-major RMPC evaluator: B scenarios advance in ONE jitted scan.
 
     Where `make_rmpc_evaluator` is a per-scenario episode to be vmapped,
@@ -352,13 +354,22 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
     device. Freeze-at-convergence matches the per-instance evaluator
     (`rob_ctrl.py:391-414` semantics), applied per lane.
 
+    The kernel budget defaults are deliberately HIGHER than RMPCBatch's
+    (6 iters x 3 AL rounds x 4 alphas vs 2x2x3): closed-loop RLS
+    adaptation can drive the regressor stiff (|theta| ~ 10 on rolling
+    objects), where an under-converged solve feeds bad control back into
+    the estimator and diverges. 6x3x4 matches the XLA path's 18/18 sweep
+    success; 2x2x3 loses the two cylinder/mu=0.2 configs at N=20.
+
     Returns `evaluate(kappa_inv (B,2), mass (B,), mu (B,), target_xy (B,2))
     -> PMPCScenarioResult` with per-lane Metrics.
     """
     ctrl_dt = dt * control_every
     ctlr = mpc_mod.RMPCBatch(
         N=N, dt=ctrl_dt,
-        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters, al_iters=3))
+        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters, al_iters=3),
+        kernel_iters=kernel_iters, kernel_alphas=kernel_alphas,
+        kernel_al_rounds=kernel_al_rounds)
     step_plant = jax.vmap(to_mod.step, in_axes=(0, 0, 0, None))
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy):
