@@ -110,8 +110,8 @@ def make_xarm7_chain(world_pos=(0.0, 0.0, 0.0), world_quat=(1.0, 0.0, 0.0, 0.0),
         body_pos=a(body_pos), body_quat=a(body_quat),
         mass=a(mass), com=a(com), inertia=a(inertia),
         damping=a([l["damping"] for l in DATA.LINKS]),
-        armature=a([DATA.ARMATURE] * N_JOINTS),
-        frictionloss=a([DATA.FRICTIONLOSS] * N_JOINTS),
+        armature=a(DATA.ARMATURE),
+        frictionloss=a(DATA.FRICTIONLOSS),
         q_lo=a([l["range"][0] for l in DATA.LINKS]),
         q_hi=a([l["range"][1] for l in DATA.LINKS]),
     )

@@ -1,0 +1,308 @@
+"""MuJoCo-in-the-loop ground-truth harness.
+
+The reference's verification strategy is "the simulator is the oracle"
+(SURVEY.md section 4.3): every headline number is measured on `mj_step` over
+the world MJCFs. This module closes that loop for dart_tpu — it drives the
+*reference's own world* (`LMPC/models/xarm7/world_general.xml`, rewritten per
+scenario exactly like `RMPC/dev_dual/rob_ctrl.py:88-179`) with dart_tpu's
+controllers:
+
+    dart_tpu MPC (PMPC/RMPC/LMPC) -> tilt u
+      -> dart_tpu DACTL grasp transforms -> EE targets
+      -> dart_tpu impedance QP (chain.py dynamics == mj queries, see
+         tests/test_mujoco_oracle.py) -> torques
+      -> data.ctrl  -> mujoco.mj_step    (fingers physically clamp the tray)
+
+mirroring the reference drivers step-for-step (`PMPC/main.py:90-125`,
+`rob_ctrl.py:330-416`): MPC every sim step by default, tray position target
+frozen at its initial pose, tilt from the MPC command, gripper actuators at
+255, world-frame object state from body xpos/cvel.
+
+This is host-loop code by design (MuJoCo is a C library): the per-step torque
+computation and the MPC solves are jitted; `mj_step` runs between dispatches.
+Use it for fidelity measurement and calibration, not throughput — the
+pure-JAX `rollout.full_stack` / `rollout.evaluate` paths are the production
+evaluators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import numpy as np
+
+try:
+    import mujoco
+    HAVE_MUJOCO = True
+except ImportError:  # pragma: no cover - baked into this environment
+    mujoco = None
+    HAVE_MUJOCO = False
+
+import jax
+import jax.numpy as jnp
+
+from dart_tpu.control import arm as arm_mod
+from dart_tpu.control import mpc as mpc_mod
+from dart_tpu.control.dualarm import resolve_ee_targets
+from dart_tpu.models import dynamics as dyn
+from dart_tpu.physics import chain as chain_mod
+from dart_tpu.rollout import full_stack as fs
+from dart_tpu.rollout.metrics import compute_metrics
+from dart_tpu.utils.quat import tilt_to_quat
+
+WORLD_XML = "/root/reference/LMPC/models/xarm7/world_general.xml"
+OBJECT_BODY = "cube2"           # the LMPC world's placeholder object body
+TRAY_TOP_Z = 0.405              # tray box top: pos 0.4 + half-height 0.005
+
+
+# --------------------------------------------------------------------------
+# World construction (the rob_ctrl.py:88-179 object rewrite, via MjSpec —
+# no files are written; the reference tree stays read-only)
+# --------------------------------------------------------------------------
+
+def make_world(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
+               edge: float = 0.05, radius: float = 0.025,
+               height: float = 0.05, obj_xy=(0.0, 0.0), drop: float = 0.005,
+               xml: str = WORLD_XML):
+    """Compile the reference world with the scenario's object geometry.
+
+    Mirrors `rewrite_xml_object_block` (`rob_ctrl.py:124-179`): replaces the
+    placeholder object geom with the commanded shape/mass/friction AND sets
+    the world's unclassed default-geom friction to mu (the reference's
+    "UPDATE FRICTION HERE" default governs the tray surface; MuJoCo combines
+    contact friction as the max of the two geoms, so both must move).
+    """
+    assert HAVE_MUJOCO, "mujoco not available"
+    spec = mujoco.MjSpec.from_file(xml)
+    body = spec.body(OBJECT_BODY)
+    geom = body.geoms[0]
+    fric = [mu, mu, 0.001]
+    if shape == "cube":
+        geom.type = mujoco.mjtGeom.mjGEOM_BOX
+        h = 0.5 * edge
+        geom.size = [h, h, h]
+        rest_h = h
+    elif shape == "cylinder":
+        geom.type = mujoco.mjtGeom.mjGEOM_CYLINDER
+        geom.size = [radius, 0.5 * height, 0.0]
+        rest_h = 0.5 * height
+    elif shape == "sphere":
+        geom.type = mujoco.mjtGeom.mjGEOM_SPHERE
+        geom.size = [radius, 0.0, 0.0]
+        rest_h = radius
+    else:
+        raise ValueError(shape)
+    geom.mass = mass
+    geom.friction = fric
+    spec.default.geom.friction = fric
+
+    # Object start pose in the home keyframe (keyframe layout:
+    # `world_general.xml:173` — object free joint is the last 7 qpos).
+    key = spec.key("home")
+    qpos = np.array(key.qpos)
+    qpos[-7:] = [obj_xy[0], obj_xy[1], TRAY_TOP_Z + rest_h + drop,
+                 1.0, 0.0, 0.0, 0.0]
+    key.qpos = qpos
+
+    model = spec.compile()
+    data = mujoco.MjData(model)
+    mujoco.mj_resetDataKeyframe(model, data, 0)
+    mujoco.mj_forward(model, data)
+    return model, data
+
+
+@dataclass
+class MjIndex:
+    """Cached id tables for the dual-arm world."""
+
+    qposL: np.ndarray
+    dofL: np.ndarray
+    qposR: np.ndarray
+    dofR: np.ndarray
+    act: np.ndarray          # 14 arm motor actuators, L then R
+    grip_act: np.ndarray     # 2 gripper actuators
+    tray_bid: int
+    obj_bid: int
+
+
+def index_world(model) -> MjIndex:
+    def jadr(prefix):
+        js = [mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_JOINT,
+                                f"{prefix}_joint{i}") for i in range(1, 8)]
+        return (np.array([model.jnt_qposadr[j] for j in js]),
+                np.array([model.jnt_dofadr[j] for j in js]))
+
+    qposL, dofL = jadr("L")
+    qposR, dofR = jadr("R")
+    act = np.array([mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_ACTUATOR,
+                                      f"{s}_act{i}")
+                    for s in ("L", "R") for i in range(1, 8)])
+    grip = np.array([mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_ACTUATOR,
+                                       f"{s}_gripper") for s in ("L", "R")])
+    return MjIndex(
+        qposL=qposL, dofL=dofL, qposR=qposR, dofR=dofR, act=act,
+        grip_act=grip,
+        tray_bid=mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, "tray"),
+        obj_bid=mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY,
+                                  OBJECT_BODY))
+
+
+def observe6(data, idx: MjIndex) -> np.ndarray:
+    """World-frame [px, vx, py, vy, pz, vz] (`PMPC/main.py:98-101`)."""
+    p = data.xpos[idx.obj_bid]
+    v = data.cvel[idx.obj_bid][3:6]
+    return np.array([p[0], v[0], p[1], v[1], p[2], v[2]])
+
+
+def observe4(data, idx: MjIndex) -> np.ndarray:
+    """World-frame [px, vx, py, vy] (`np_mpc...py:195-198`)."""
+    p = data.xpos[idx.obj_bid]
+    v = data.cvel[idx.obj_bid][3:6]
+    return np.array([p[0], v[0], p[1], v[1]])
+
+
+# --------------------------------------------------------------------------
+# Jitted low-level stack: tray target -> both arm torques
+# --------------------------------------------------------------------------
+
+def make_torque_fn(dt: float = 0.002, qp_iters: int = 60,
+                   dtype=jnp.float64) -> Callable:
+    """Jitted (armL, armR, qL, qdL, qR, qdR, tray_pos, tray_quat) ->
+    (armL', armR', tau (14,)) using dart_tpu's chains + impedance QP —
+    the in-dataflow DACTL + 2x ARMCONTROL of `rollout.full_stack`, exposed
+    for the MuJoCo host loop."""
+    scene = fs.make_scene(dt=dt, dtype=dtype)
+
+    @jax.jit
+    def torque(armL, armR, qL, qdL, qR, qdR, tray_pos, tray_quat):
+        tgtL, tgtR = resolve_ee_targets(tray_pos, tray_quat)
+        posL, quatL, _ = fs._ee_pose(scene.left, qL)
+        posR, quatR, _ = fs._ee_pose(scene.right, qR)
+        dynL = fs._arm_dynamics(scene.left, qL, qdL, posL, quatL)
+        dynR = fs._arm_dynamics(scene.right, qR, qdR, posR, quatR)
+        armL, tauL, _ = arm_mod.compute_torque(
+            armL, dynL, tgtL.pos, tgtL.quat, scene.arm_params,
+            qp_iters=qp_iters)
+        armR, tauR, _ = arm_mod.compute_torque(
+            armR, dynR, tgtR.pos, tgtR.quat, scene.arm_params,
+            qp_iters=qp_iters)
+        return armL, armR, jnp.concatenate([tauL, tauR])
+
+    return torque
+
+
+# --------------------------------------------------------------------------
+# Closed loop
+# --------------------------------------------------------------------------
+
+def run_closed_loop(model, data, solve_fn: Callable, ctrl_carry,
+                    observe: Callable, target_xy, n_steps: int = 2500,
+                    control_every: int = 1, tol: float = 0.01,
+                    qp_iters: int = 60, stop_on_converge: bool = True):
+    """Drive the MuJoCo world with a dart_tpu controller.
+
+    `solve_fn(carry, obs, target_xy_world) -> (carry, u)` is called every
+    `control_every` sim steps (reference drivers: every step); between
+    solves the last tilt is held. Mirrors `rob_ctrl.py:330-416`: tray
+    position target frozen at its initial pose, tilt from u, gripper at 255,
+    loop breaks when the world-frame XY error first crosses `tol`.
+
+    Returns a dict with metrics + per-step logs.
+    """
+    idx = index_world(model)
+    dt = float(model.opt.timestep)
+    torque_fn = make_torque_fn(dt=dt, qp_iters=qp_iters)
+
+    tray_pos0 = jnp.asarray(data.xpos[idx.tray_bid].copy(), jnp.float64)
+    target_w = np.array([tray_pos0[0] + target_xy[0],
+                         tray_pos0[1] + target_xy[1]])
+
+    armL = arm_mod.arm_init_carry(jnp.float64)
+    armR = arm_mod.arm_init_carry(jnp.float64)
+    u = np.zeros(2)
+    ps, us, errs = [], [], []
+    converged_at = None
+
+    for k in range(n_steps):
+        if k % control_every == 0:
+            obs = observe(data, idx)
+            ctrl_carry, u_j = solve_fn(ctrl_carry, jnp.asarray(obs),
+                                       jnp.asarray(target_w))
+            u = np.asarray(u_j)
+        tray_quat = tilt_to_quat(jnp.asarray(u, jnp.float64))
+        qL = jnp.asarray(data.qpos[idx.qposL])
+        qdL = jnp.asarray(data.qvel[idx.dofL])
+        qR = jnp.asarray(data.qpos[idx.qposR])
+        qdR = jnp.asarray(data.qvel[idx.dofR])
+        armL, armR, tau = torque_fn(armL, armR, qL, qdL, qR, qdR,
+                                    tray_pos0, tray_quat)
+        data.ctrl[idx.act] = np.asarray(tau)
+        data.ctrl[idx.grip_act] = 255.0
+        mujoco.mj_step(model, data)
+
+        p = data.xpos[idx.obj_bid]
+        ps.append([p[0], p[1], p[2]])
+        us.append(u.copy())
+        err = float(np.hypot(p[0] - target_w[0], p[1] - target_w[1]))
+        errs.append(err)
+        if converged_at is None and err < tol:
+            converged_at = k
+            if stop_on_converge:
+                break
+
+    ps = np.asarray(ps)
+    us = np.asarray(us)
+    T = ps.shape[0]
+    X = np.stack([ps[:, 0], np.zeros(T), ps[:, 1], np.zeros(T)], axis=-1)
+    m = compute_metrics(jnp.asarray(X), jnp.asarray(us),
+                        jnp.asarray(target_w), dt, tol=tol)
+    return {
+        "metrics": jax.tree.map(lambda x: np.asarray(x).item(), m._asdict()),
+        "ps": ps, "us": us, "errs": np.asarray(errs),
+        "converged_at": converged_at, "target_w": target_w, "dt": dt,
+    }
+
+
+# --------------------------------------------------------------------------
+# Controller adapters (close dart_tpu controllers over their params so the
+# loop sees a uniform solve_fn(carry, obs, target_xy) -> (carry, u))
+# --------------------------------------------------------------------------
+
+def pmpc_solve_fn(shape: str = "cube", mu: float = 0.1, N: int = 15,
+                  dt: float = 0.002, max_iters: int = 10):
+    """PMPC adapter: per-object weight table + analytic model, world-frame
+    6-state obs (`PMPC/main.py:98-118`)."""
+    ctlr = mpc_mod.PMPC(N=N, dt=dt,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
+    weights = mpc_mod.PMPC_WEIGHTS.get(shape, mpc_mod.PMPC_WEIGHTS["general"])
+    params = dyn.PMPCParams(mu=jnp.asarray(mu, jnp.float64), dt=dt)
+
+    @jax.jit
+    def solve(carry, obs, target_w):
+        target6 = jnp.stack([target_w[0], 0.0, target_w[1], 0.0,
+                             jnp.asarray(0.43, jnp.float64), 0.0])
+        carry, u, _ = ctlr.solve(carry, obs, target6, params, weights)
+        return carry, u
+
+    return solve, ctlr.init_carry(jnp.float64), observe6
+
+
+def rmpc_solve_fn(N: int = 20, dt: float = 0.002, max_iters: int = 10,
+                  state0=None):
+    """RMPC adapter: RLS + governor + staged ref inside `RMPC.solve`,
+    world-frame 4-state obs (`rob_ctrl.py:330-361`)."""
+    ctlr = mpc_mod.RMPC(N=N, dt=dt,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters,
+                                                    al_iters=3))
+
+    @jax.jit
+    def solve(carry, obs, target_w):
+        target4 = jnp.stack([target_w[0], 0.0, target_w[1], 0.0])
+        carry, u, _ = ctlr.solve(carry, obs, target4)
+        return carry, u
+
+    s0 = jnp.zeros(4, jnp.float64) if state0 is None else jnp.asarray(
+        state0, jnp.float64)
+    return solve, ctlr.init_carry(s0, jnp.float64), observe4
