@@ -157,7 +157,10 @@ def env_step(policy_params, model, ctlr: mpc_mod.LMPC,
 
 def make_train_step(model, ctlr: mpc_mod.LMPC, scene: fs.DualArmScene,
                     env_cfg: FSEnvConfig, ppo_cfg: ppo_mod.PPOConfig,
-                    rollout_len: int, axis_name: str | None = None):
+                    rollout_len: int, axis_name: str | None = None,
+                    replay: bool = False):
+    """With ``replay=True`` the step implements the reference's dual-buffer
+    update (`rlmpc2.py:822-874`) — see `lmpc_trainer.make_train_step`."""
     from dart_tpu.adapt.lmpc_trainer import TrainState
     tx = ppo_mod.make_optimizer(ppo_cfg)
 
@@ -173,8 +176,8 @@ def make_train_step(model, ctlr: mpc_mod.LMPC, scene: fs.DualArmScene,
         _, _, last_value = model.apply(params, history.reshape(-1))
         return s, traj, last_value
 
-    def train_step(ts: TrainState, env_states):
-        rng, k_up = jax.random.split(ts.rng)
+    def train_core(ts: TrainState, env_states, buf):
+        rng, k_up, k_sub, k_glob = jax.random.split(ts.rng, 4)
         env_states, traj, last_values = jax.vmap(
             lambda s: collect(ts.params, s))(env_states)
         adv = jax.vmap(lambda t, lv: ppo_mod.compute_gae(
@@ -188,8 +191,24 @@ def make_train_step(model, ctlr: mpc_mod.LMPC, scene: fs.DualArmScene,
         params, opt_state, stats = ppo_mod.ppo_update(
             ts.params, ts.opt_state, model, tx, batch, ppo_cfg, k_up,
             axis_name=axis_name)
-        return TrainState(params, opt_state, rng), env_states, \
-            {"mean_reward": traj.reward.mean(),
-             **dict(zip(("policy_loss", "value_loss", "entropy"), stats))}
+        stats = {"mean_reward": traj.reward.mean(),
+                 **dict(zip(("policy_loss", "value_loss", "entropy"), stats))}
+        if buf is not None:
+            buf = ppo_mod.replay_add_subsample(
+                buf, flat(traj.obs), flat(traj.action), flat(traj.logp),
+                flat(traj.reward), flat(traj.value), flat(traj.done), k_sub)
+            params, opt_state, buf, did = ppo_mod.replay_maybe_update(
+                params, opt_state, model, tx, buf, ppo_cfg, k_glob,
+                axis_name=axis_name)
+            stats["global_update"] = did.astype(jnp.float32)
+        return TrainState(params, opt_state, rng), env_states, buf, stats
+
+    if replay:
+        def train_step(ts, env_states, buf):
+            return train_core(ts, env_states, buf)
+    else:
+        def train_step(ts, env_states):
+            ts, env_states, _, stats = train_core(ts, env_states, None)
+            return ts, env_states, stats
 
     return train_step, tx

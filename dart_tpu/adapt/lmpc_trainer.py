@@ -226,13 +226,22 @@ class TrainState(NamedTuple):
 
 def make_train_step(model: ppo_mod.ActorCritic, ctlr: mpc_mod.LMPC,
                     env_cfg: EnvConfig, ppo_cfg: ppo_mod.PPOConfig,
-                    rollout_len: int, axis_name: str | None = None):
+                    rollout_len: int, axis_name: str | None = None,
+                    replay: bool = False):
     """Build the jittable full training step:
-    (TrainState, batched LMPCEnvState) -> (TrainState, env states, stats)."""
+    (TrainState, batched LMPCEnvState) -> (TrainState, env states, stats).
+
+    With ``replay=True`` the step implements the reference's dual-buffer
+    update (`rlmpc2.py:822-874`): the signature becomes
+    (ts, env_states, ReplayBuffer) -> (ts, env_states, buf, stats) — after
+    the local PPO pass, 25% of the rollout is subsampled into the buffer
+    and a second, global PPO pass runs whenever it fills (every 4 steps).
+    Size the buffer with `init_replay(n_envs, rollout_len)`.
+    """
     tx = ppo_mod.make_optimizer(ppo_cfg)
 
-    def train_step(ts: TrainState, env_states):
-        rng, k_up = jax.random.split(ts.rng)
+    def train_core(ts: TrainState, env_states, buf):
+        rng, k_up, k_sub, k_glob = jax.random.split(ts.rng, 4)
 
         def roll(s):
             return collect_rollout(ts.params, model, ctlr, s, env_cfg,
@@ -250,12 +259,35 @@ def make_train_step(model: ppo_mod.ActorCritic, ctlr: mpc_mod.LMPC,
         params, opt_state, stats = ppo_mod.ppo_update(
             ts.params, ts.opt_state, model, tx, batch, ppo_cfg, k_up,
             axis_name=axis_name)
-        mean_reward = traj.reward.mean()
-        return TrainState(params, opt_state, rng), env_states, \
-            {"mean_reward": mean_reward, **dict(zip(
-                ("policy_loss", "value_loss", "entropy"), stats))}
+        stats = {"mean_reward": traj.reward.mean(), **dict(zip(
+            ("policy_loss", "value_loss", "entropy"), stats))}
+        if buf is not None:
+            buf = ppo_mod.replay_add_subsample(
+                buf, flat(traj.obs), flat(traj.action), flat(traj.logp),
+                flat(traj.reward), flat(traj.value), flat(traj.done), k_sub)
+            params, opt_state, buf, did = ppo_mod.replay_maybe_update(
+                params, opt_state, model, tx, buf, ppo_cfg, k_glob,
+                axis_name=axis_name)
+            stats["global_update"] = did.astype(jnp.float32)
+        return TrainState(params, opt_state, rng), env_states, buf, stats
+
+    if replay:
+        def train_step(ts, env_states, buf):
+            return train_core(ts, env_states, buf)
+    else:
+        def train_step(ts, env_states):
+            ts, env_states, _, stats = train_core(ts, env_states, None)
+            return ts, env_states, stats
 
     return train_step, tx
+
+
+def init_replay(n_envs: int, rollout_len: int,
+                dtype=jnp.float32) -> ppo_mod.ReplayBuffer:
+    """Global buffer sized to one rollout's samples: 25% subsampling fills
+    it in 4 train steps, matching the reference's >= rollout_len trigger."""
+    return ppo_mod.replay_init(n_envs * rollout_len, OBS_DIM, N_PARAMS,
+                               dtype)
 
 
 def init_train_state(rng, model: ppo_mod.ActorCritic,

@@ -257,6 +257,93 @@ def ppo_loss(params, model: ActorCritic, batch: Batch, cfg: PPOConfig):
     return loss, (policy_loss, value_loss, entropy)
 
 
+# --------------------------------------------------------------------------
+# Global replay buffer (the reference's SECOND PPO pass, rlmpc2.py:823-874:
+# after each local update, 25% of the rollout is subsampled into a global
+# buffer; when it holds >= rollout_len transitions, a full PPO pass runs over
+# it — GAE over insertion order, bootstrapped from the last entry — and the
+# buffer clears)
+# --------------------------------------------------------------------------
+
+class ReplayBuffer(NamedTuple):
+    """Fixed-capacity insertion-ordered buffer (pure pytree, jit-safe)."""
+
+    obs: jnp.ndarray        # (C, obs_dim)
+    actions: jnp.ndarray    # (C, act_dim)
+    logps: jnp.ndarray      # (C,)
+    rewards: jnp.ndarray    # (C,)
+    values: jnp.ndarray     # (C,)
+    dones: jnp.ndarray      # (C,)
+    size: jnp.ndarray       # () int32, valid prefix length
+
+
+def replay_init(capacity: int, obs_dim: int, act_dim: int,
+                dtype=jnp.float32) -> ReplayBuffer:
+    return ReplayBuffer(
+        obs=jnp.zeros((capacity, obs_dim), dtype),
+        actions=jnp.zeros((capacity, act_dim), dtype),
+        logps=jnp.zeros((capacity,), dtype),
+        rewards=jnp.zeros((capacity,), dtype),
+        values=jnp.zeros((capacity,), dtype),
+        dones=jnp.zeros((capacity,), dtype),
+        size=jnp.zeros((), jnp.int32))
+
+
+def replay_add_subsample(buf: ReplayBuffer, obs, actions, logps, rewards,
+                         values, dones, rng,
+                         frac: float = 0.25) -> ReplayBuffer:
+    """Subsample `frac` of a flattened rollout (without replacement,
+    `rlmpc2.py:822-827`) and append at the buffer's write position. The
+    write offset is clamped so a full buffer is never overrun — size the
+    capacity as a multiple of the per-step take (the trainers use
+    capacity = rollout samples, take = 1/4 of them => flush every 4 steps).
+    """
+    T = obs.shape[0]
+    n_take = max(1, int(T * frac))
+    idx = jax.random.choice(rng, T, (n_take,), replace=False)
+    off = jnp.minimum(buf.size, buf.obs.shape[0] - n_take)
+    wr = lambda dst, src: jax.lax.dynamic_update_slice_in_dim(
+        dst, src[idx].astype(dst.dtype), off, 0)
+    return ReplayBuffer(
+        obs=wr(buf.obs, obs), actions=wr(buf.actions, actions),
+        logps=wr(buf.logps, logps), rewards=wr(buf.rewards, rewards),
+        values=wr(buf.values, values), dones=wr(buf.dones, dones),
+        size=jnp.minimum(buf.size + n_take,
+                         jnp.asarray(buf.obs.shape[0], jnp.int32)))
+
+
+def replay_maybe_update(params, opt_state, model: ActorCritic, tx,
+                        buf: ReplayBuffer, cfg: PPOConfig, rng,
+                        axis_name: str | None = None):
+    """Run the global PPO pass iff the buffer is full, then clear it
+    (`rlmpc2.py:828-874`). The fill schedule is deterministic, so under
+    data-parallel shard_map every device takes the same branch and the
+    pmean inside never deadlocks.
+
+    Returns (params, opt_state, buf, did_update).
+    """
+    full = buf.size >= buf.obs.shape[0]
+
+    def do_update(args):
+        params, opt_state, buf = args
+        _, _, last_val = model.apply(params, buf.obs[-1])
+        adv = compute_gae(buf.rewards, buf.values, buf.dones, last_val,
+                          cfg.gamma, cfg.gae_lambda)
+        batch = Batch(obs=buf.obs, actions=buf.actions, logps=buf.logps,
+                      advantages=adv, returns=adv + buf.values)
+        params, opt_state, _ = ppo_update(params, opt_state, model, tx,
+                                          batch, cfg, rng,
+                                          axis_name=axis_name)
+        return params, opt_state, buf._replace(size=jnp.zeros((), jnp.int32))
+
+    def skip(args):
+        return args
+
+    params, opt_state, buf = jax.lax.cond(
+        full, do_update, skip, (params, opt_state, buf))
+    return params, opt_state, buf, full
+
+
 def ppo_update(params, opt_state, model: ActorCritic, tx, batch: Batch,
                cfg: PPOConfig, rng, axis_name: str | None = None):
     """Minibatched multi-epoch PPO pass as nested scans (one XLA program).

@@ -15,17 +15,24 @@ def main(argv=None):
     p.add_argument("--runtime", type=float, default=5.0)
     p.add_argument("--tolerance", type=float, default=0.01)
     p.add_argument("--controller", default="pmpc",
-                   choices=["pmpc", "rmpc", "mppi"])
+                   choices=["pmpc", "rmpc", "mppi", "lmpc"])
+    p.add_argument("--checkpoint_dir", default="artifacts/lmpc/general",
+                   help="lmpc only: trained policy to tune the 34 params")
     p.add_argument("--batch_major", action="store_true",
                    help="rmpc only: run each device's whole shard through "
                         "one RMPCBatch solve per control step (whole-solve "
                         "Pallas kernel on TPU; shards padded to 128 lanes)")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late here: "
+                        "sitecustomize imports jax at interpreter start)")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     from dart_tpu.io.logging import to_jsonable
@@ -38,8 +45,6 @@ def main(argv=None):
     targets = tuple(tuple(float(x) for x in t.split(",")) for t in args.targets)
     dt = 0.002
     n_steps = int(args.runtime / dt)
-    maker = {"pmpc": make_pmpc_evaluator, "rmpc": make_rmpc_evaluator,
-             "mppi": make_mppi_evaluator}[args.controller]
     dtype = jnp.float64 if args.f64 else jnp.float32
     batch = scenes.sweep_grid(targets=targets, dtype=dtype)
     mesh = sweep_mod.make_mesh()
@@ -51,7 +56,44 @@ def main(argv=None):
                                        control_every=5, warmup_steps=250,
                                        tol=args.tolerance)
         res, agg = sweep_mod.run_sweep_batched(ev, batch, mesh)
+    elif args.controller == "lmpc":
+        # Trained-policy LMPC on the contact plant (`run.py:243-311`).
+        import numpy as np
+
+        from dart_tpu.adapt import lmpc_trainer as trainer
+        from dart_tpu.adapt import ppo as ppo_mod
+        from dart_tpu.io import checkpoint as ckpt
+        from dart_tpu.rollout.evaluate import make_lmpc_evaluator
+
+        model = ppo_mod.ActorCritic(act_dim=trainer.N_PARAMS)
+        tx = ppo_mod.make_optimizer(ppo_mod.PPOConfig())
+        ts = trainer.init_train_state(jax.random.PRNGKey(0), model, tx)
+        restored = ckpt.load_agent(
+            args.checkpoint_dir, "best_agent",
+            template={"params": ts.params, "opt_state": ts.opt_state,
+                      "episode": np.asarray(0), "return": np.asarray(0.0)})
+        if restored is None:
+            p.error(f"no checkpoint in {args.checkpoint_dir}; train with "
+                    "`python -m dart_tpu.cli lmpc --train` first")
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype),
+                              restored["params"])
+        ev0 = make_lmpc_evaluator(params, model, n_steps=n_steps, dt=dt,
+                                  control_every=5, warmup_steps=250,
+                                  tol=args.tolerance)
+
+        def ev(k, m, mu, t):
+            # deterministic per-scenario seed for the param-vector init
+            seed = (jnp.round(t[0] * 1e4).astype(jnp.int32) * 7919
+                    + jnp.round(t[1] * 1e4).astype(jnp.int32) * 104729
+                    + jnp.round(mu * 1e3).astype(jnp.int32) * 31
+                    + jnp.round(m * 10).astype(jnp.int32))
+            return ev0(k, m, mu, t, jax.random.fold_in(
+                jax.random.PRNGKey(0), seed))
+
+        res, agg = sweep_mod.run_sweep(ev, batch, mesh)
     else:
+        maker = {"pmpc": make_pmpc_evaluator, "rmpc": make_rmpc_evaluator,
+                 "mppi": make_mppi_evaluator}[args.controller]
         ev = maker(n_steps=n_steps, dt=dt, control_every=5, warmup_steps=250,
                    tol=args.tolerance)
         res, agg = sweep_mod.run_sweep(ev, batch, mesh)

@@ -176,7 +176,8 @@ def make_torque_fn(dt: float = 0.002, qp_iters: int = 60,
     scene = fs.make_scene(dt=dt, dtype=dtype)
 
     @jax.jit
-    def torque(armL, armR, qL, qdL, qR, qdR, tray_pos, tray_quat):
+    def torque(armL, armR, qL, qdL, qR, qdR, tray_pos, u):
+        tray_quat = tilt_to_quat(u).astype(dtype)
         tgtL, tgtR = resolve_ee_targets(tray_pos, tray_quat)
         posL, quatL, _ = fs._ee_pose(scene.left, qL)
         posR, quatR, _ = fs._ee_pose(scene.right, qR)
@@ -200,7 +201,8 @@ def make_torque_fn(dt: float = 0.002, qp_iters: int = 60,
 def run_closed_loop(model, data, solve_fn: Callable, ctrl_carry,
                     observe: Callable, target_xy, n_steps: int = 2500,
                     control_every: int = 1, tol: float = 0.01,
-                    qp_iters: int = 60, stop_on_converge: bool = True):
+                    qp_iters: int = 60, stop_on_converge: bool = True,
+                    torque_fn: Callable | None = None):
     """Drive the MuJoCo world with a dart_tpu controller.
 
     `solve_fn(carry, obs, target_xy_world) -> (carry, u)` is called every
@@ -213,7 +215,8 @@ def run_closed_loop(model, data, solve_fn: Callable, ctrl_carry,
     """
     idx = index_world(model)
     dt = float(model.opt.timestep)
-    torque_fn = make_torque_fn(dt=dt, qp_iters=qp_iters)
+    if torque_fn is None:
+        torque_fn = make_torque_fn(dt=dt, qp_iters=qp_iters)
 
     tray_pos0 = jnp.asarray(data.xpos[idx.tray_bid].copy(), jnp.float64)
     target_w = np.array([tray_pos0[0] + target_xy[0],
@@ -231,13 +234,12 @@ def run_closed_loop(model, data, solve_fn: Callable, ctrl_carry,
             ctrl_carry, u_j = solve_fn(ctrl_carry, jnp.asarray(obs),
                                        jnp.asarray(target_w))
             u = np.asarray(u_j)
-        tray_quat = tilt_to_quat(jnp.asarray(u, jnp.float64))
         qL = jnp.asarray(data.qpos[idx.qposL])
         qdL = jnp.asarray(data.qvel[idx.dofL])
         qR = jnp.asarray(data.qpos[idx.qposR])
         qdR = jnp.asarray(data.qvel[idx.dofR])
         armL, armR, tau = torque_fn(armL, armR, qL, qdL, qR, qdR,
-                                    tray_pos0, tray_quat)
+                                    tray_pos0, jnp.asarray(u, jnp.float64))
         data.ctrl[idx.act] = np.asarray(tau)
         data.ctrl[idx.grip_act] = 255.0
         mujoco.mj_step(model, data)

@@ -270,6 +270,106 @@ def _tray_params(shape_kappa_inv, mass, mu, dtype):
         topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
 
 
+def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
+                        dt: float = 0.002, control_every: int = 5,
+                        warmup_steps: int = 250, N: int = 12,
+                        max_iters: int = 4, tol: float = 0.01,
+                        param_update_every: int = 8,
+                        u_sign: float = -1.0):
+    """LMPC scenario evaluator on the CONTACT PLANT with the trained policy
+    tuning the 34 model parameters online — the closed-loop analogue of
+    `LMPC/src/run.py:243-311` with the plant swapped from MuJoCo to
+    `tray_object` (for MuJoCo itself see `physics.mujoco_bridge`).
+
+    Unlike `adapt.lmpc_trainer.eval_rollout` (plant == the lmpc model
+    family, i.e. self-referential), here LMPC quality is measured on a
+    plant it did not train on: Stribeck/rolling/toppling contact dynamics.
+    One env step = one MPC control period = `control_every` x 2 ms plant
+    steps; the policy adjusts the parameter vector every
+    `param_update_every` control steps (`rlmpc2.py:742`); the learned
+    model's tilt sign convention is inverted vs the world (`run.py:257`),
+    hence ``u_sign=-1``.
+
+    Returns `evaluate(shape_kappa_inv, mass, mu, target_xy, rng)` —
+    vmappable; `rng` seeds the policy's parameter-vector initialisation
+    (mid-range jittered, `rlmpc2.py:618-623`).
+    """
+    from dart_tpu.adapt import lmpc_trainer as trainer
+    from dart_tpu.adapt import ppo as ppo_mod
+
+    ctrl_dt = dt * control_every
+    ctlr = mpc_mod.LMPC(N=N, dt=ctrl_dt,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
+    n_ctrl = n_steps // control_every
+    act_cfg = ppo_mod.ParamActionConfig()
+
+    def evaluate(shape_kappa_inv, mass, mu, target_xy, rng):
+        dtype = mass.dtype
+        obj_params = _tray_params(shape_kappa_inv, mass, mu, dtype)
+        target8 = jnp.zeros(8, dtype).at[0].set(target_xy[0]).at[2].set(
+            target_xy[1])
+
+        def observe8(s):
+            pos, vel = to_mod.observe_world(s, obj_params)
+            th, thd = s.theta, s.theta_dot
+            return jnp.stack([pos[0], vel[0], pos[1], vel[1],
+                              th[1], thd[1], -th[0], -thd[0]])
+
+        def substep(s, u):
+            def one(s, _):
+                return to_mod.step(s, u, obj_params, dt), None
+            s, _ = jax.lax.scan(one, s, None, length=control_every)
+            return s
+
+        def stepf(carry, k):
+            cc, s, current_k, welford, history, u_prev, stopped = carry
+            x = observe8(s)
+            base = jnp.concatenate([x, target8, u_prev, current_k])
+            welford = ppo_mod.welford_update(welford, base)
+            norm = ppo_mod.welford_normalize(welford, base)
+            history = jnp.concatenate([history[1:], norm[None]], axis=0)
+            mean, _, _ = model.apply(policy_params, history.reshape(-1))
+            do_upd = (k % param_update_every) == 0
+            k_new = ppo_mod.apply_param_action(current_k, mean, act_cfg)
+            current_k = jnp.where(do_upd & (~stopped), k_new, current_k)
+
+            cc_new, u, _ = ctlr.solve(cc, x, target8, current_k)
+            cc = jax.tree.map(
+                lambda a, b: jnp.where(stopped, a, b), cc, cc_new)
+            u = jnp.where(stopped, u_prev, u)
+            warm = k * control_every >= warmup_steps
+            u_apply = jnp.where(warm & (~stopped),
+                                jnp.asarray(u_sign, dtype) * u,
+                                jnp.where(stopped, u_sign * u_prev,
+                                          jnp.zeros_like(u)))
+            s_next = substep(s, u_apply)
+            err = jnp.sqrt((s_next.p[0] - target_xy[0]) ** 2
+                           + (s_next.p[1] - target_xy[1]) ** 2)
+            stopped_n = stopped | (warm & (err < tol))
+            s_keep = jax.tree.map(
+                lambda a, b: jnp.where(stopped, a, b), s, s_next)
+            return (cc, s_keep, current_k, welford, history, u, stopped_n), \
+                (s_keep.p, u_apply)
+
+        s0 = to_mod.init_state(dtype=dtype)
+        init_k = jax.random.uniform(
+            rng, (trainer.N_PARAMS,), dtype,
+            minval=act_cfg.min_k, maxval=act_cfg.k_max / 2)
+        carry0 = (ctlr.init_carry(dtype), s0, init_k,
+                  ppo_mod.welford_init(trainer.BASE_OBS_DIM, dtype),
+                  jnp.zeros((trainer.HISTORY_LEN, trainer.BASE_OBS_DIM),
+                            dtype),
+                  jnp.zeros(2, dtype), jnp.zeros((), bool))
+        (_, s_fin, _, _, _, _, _), (ps, us) = jax.lax.scan(
+            stepf, carry0, jnp.arange(n_ctrl))
+        X = jnp.stack([ps[:, 0], jnp.zeros_like(ps[:, 0]),
+                       ps[:, 1], jnp.zeros_like(ps[:, 1])], axis=-1)
+        m = compute_metrics(X, us, target_xy, ctrl_dt, tol=tol)
+        return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
+
+    return evaluate
+
+
 def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
                               control_every: int = 5, warmup_steps: int = 250,
                               N: int = 15, u_bound: float = 0.6,

@@ -147,3 +147,68 @@ def test_lmpc_train_step_smoke():
     assert delta > 0.0
     # env advanced and stayed finite
     assert np.all(np.isfinite(np.asarray(env_states2.x)))
+
+
+def test_replay_buffer_fill_and_flush():
+    """Dual-buffer semantics (`rlmpc2.py:822-874`): 25% subsample per step,
+    global pass exactly when the buffer fills (every 4 steps), then clear."""
+    C, OD, AD = 16, 3, 2
+    buf = ppo_mod.replay_init(C, OD, AD)
+    rng = jax.random.PRNGKey(0)
+    obs = jnp.arange(16.0 * OD).reshape(16, OD)
+    acts = jnp.ones((16, AD))
+    vec = jnp.arange(16.0)
+    for i in range(3):
+        buf = ppo_mod.replay_add_subsample(
+            buf, obs, acts, vec, vec, vec, vec, jax.random.fold_in(rng, i))
+        assert int(buf.size) == 4 * (i + 1)
+    model = ppo_mod.ActorCritic(act_dim=AD, hidden_size=8, hidden_layers=1)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros(OD))
+    cfg = ppo_mod.PPOConfig(epochs=1, minibatch_size=8)
+    tx = ppo_mod.make_optimizer(cfg)
+    opt_state = tx.init(params)
+    # not yet full -> no update, params unchanged
+    p2, o2, buf2, did = ppo_mod.replay_maybe_update(
+        params, opt_state, model, tx, buf, cfg, jax.random.PRNGKey(2))
+    assert not bool(did) and int(buf2.size) == 12
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p2))
+    assert delta == 0.0
+    # fourth add fills it -> update fires and clears
+    buf2 = ppo_mod.replay_add_subsample(
+        buf2, obs, acts, vec, vec, vec, vec, jax.random.fold_in(rng, 3))
+    assert int(buf2.size) == C
+    p3, o3, buf3, did3 = ppo_mod.replay_maybe_update(
+        params, opt_state, model, tx, buf2, cfg, jax.random.PRNGKey(3))
+    assert bool(did3) and int(buf3.size) == 0
+    delta3 = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p3))
+    assert delta3 > 0.0
+
+
+def test_lmpc_train_step_with_replay():
+    """Trainer integration: replay=True signature carries the buffer; after
+    4 steps the global update fires (stats['global_update'] == 1)."""
+    ctlr = mpc_mod.LMPC(N=4, dt=0.02,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=2, al_iters=1))
+    env_cfg = trainer.EnvConfig(dt=0.02, max_episode_steps=16)
+    ppo_cfg = ppo_mod.PPOConfig(epochs=1, minibatch_size=4)
+    model = ppo_mod.ActorCritic(act_dim=trainer.N_PARAMS, hidden_size=16,
+                                hidden_layers=1)
+    train_step, tx = trainer.make_train_step(model, ctlr, env_cfg, ppo_cfg,
+                                             rollout_len=4, replay=True)
+    ts = trainer.init_train_state(jax.random.PRNGKey(0), model, tx)
+    B = 2
+    env_states = jax.vmap(
+        lambda r: trainer.env_init(r, ctlr, env_cfg))(
+            jax.random.split(jax.random.PRNGKey(1), B))
+    buf = trainer.init_replay(B, 4, dtype=env_states.x.dtype)
+    jitted = jax.jit(train_step)
+    fired = []
+    for _ in range(4):
+        ts, env_states, buf, stats = jitted(ts, env_states, buf)
+        fired.append(float(stats["global_update"]))
+    assert fired == [0.0, 0.0, 0.0, 1.0], fired
+    assert int(buf.size) == 0
