@@ -107,7 +107,9 @@ class PMPCBatch:
                  cfg: ilqr.ILQRConfig = ilqr.ILQRConfig(max_iters=4),
                  use_pallas: bool = True, fast: bool = True,
                  use_kernel: bool = True, kernel_iters: int = 2,
-                 kernel_alphas: int = 3):
+                 kernel_alphas: int = 3, kernel_tol_grad: float = 5e-3,
+                 kernel_max_extra_rounds: int = 2,
+                 g: float = float(dyn.GRAVITY_Z)):
         self.N, self.dt, self.u_bound = N, dt, u_bound
         self.ocp = make_pmpc_ocp(dt=dt, u_bound=u_bound)
         self.cfg = cfg
@@ -117,9 +119,18 @@ class PMPCBatch:
         self.fast = fast
         # `use_kernel`: whole-solve Pallas kernel (`ops.pallas.pmpc_solve`)
         # when on TPU with B % 128 == 0 — the headline throughput path.
+        # NOTE: on this path the iteration budget is kernel_iters x
+        # kernel_alphas (NOT cfg.max_iters, which governs the XLA paths);
+        # lanes whose post-solve projected-gradient norm exceeds
+        # `kernel_tol_grad` trigger up to `kernel_max_extra_rounds` warm
+        # kernel re-solves (the anti-silent-divergence escalation).
+        # Gravity is static on the kernel path (construction-time `g`).
         self.use_kernel = use_kernel
         self.kernel_iters = kernel_iters
         self.kernel_alphas = kernel_alphas
+        self.kernel_tol_grad = kernel_tol_grad
+        self.kernel_max_extra_rounds = kernel_max_extra_rounds
+        self.g = g
 
     def init_carry(self, B: int, dtype=jnp.float32) -> PMPCCarry:
         return PMPCCarry(V=jnp.zeros((B, self.N, 2), dtype))
@@ -137,12 +148,41 @@ class PMPCBatch:
                      and jax.default_backend() == "tpu")
         if kernel_ok:
             from dart_tpu.solver import pmpc_fast
-            V, cost = pmpc_fast.solve_batch_kernel(
-                bc(params.mu), aux, states, carry.V, dt=self.dt,
-                u_bound=self.u_bound, n_iters=self.kernel_iters,
-                n_alphas=self.kernel_alphas)
+            ocp_params = dyn.PMPCParams(mu=bc(params.mu), g=self.g,
+                                        dt=self.dt)
+
+            def one_round(V):
+                return pmpc_fast.solve_batch_kernel(
+                    bc(params.mu), aux, states, V, dt=self.dt,
+                    u_bound=self.u_bound, n_iters=self.kernel_iters,
+                    n_alphas=self.kernel_alphas, g=self.g)
+
+            def pg(V):
+                return ilqr.projected_grad_norm(self.ocp, ocp_params, aux,
+                                                states, V)
+
+            V, cost = one_round(carry.V)
+            gnorm = pg(V)
+
+            # Escalation: warm kernel re-solves while any lane is
+            # non-stationary (the fixed 2-iter budget's failure mode).
+            def esc_cond(c):
+                _, _, gn, r = c
+                return (r < self.kernel_max_extra_rounds) & \
+                    (jnp.max(gn) > self.kernel_tol_grad)
+
+            def esc_body(c):
+                V, _, _, r = c
+                V2, cost2 = one_round(V)
+                return V2, cost2, pg(V2), r + 1
+
+            V, cost, gnorm, rounds = jax.lax.while_loop(
+                esc_cond, esc_body,
+                (V, cost, gnorm, jnp.zeros((), jnp.int32)))
             z = jnp.zeros((B,), states.dtype)
-            diag = SolveDiag(cost, z, jnp.zeros((B,), jnp.int32), z)
+            iters = jnp.broadcast_to(
+                (1 + rounds) * self.kernel_iters, (B,)).astype(jnp.int32)
+            diag = SolveDiag(cost, z, iters, gnorm)
         elif self.fast:
             from dart_tpu.solver import pmpc_fast
             V, Z, cost = pmpc_fast.solve_batch_fast(
@@ -270,15 +310,24 @@ class RMPCBatch(RMPC):
     tile (`ops.pallas.rmpc_solve`) when the batch is a multiple of 128 on a
     TPU backend."""
 
-    def __init__(self, *args, kernel_iters: int = 2, kernel_alphas: int = 3,
-                 kernel_al_rounds: int = 2, **kwargs):
+    def __init__(self, *args, kernel_iters: int = 6, kernel_alphas: int = 4,
+                 kernel_al_rounds: int = 3, kernel_tol_grad: float = 5e-3,
+                 kernel_max_extra_rounds: int = 2, **kwargs):
         super().__init__(*args, **kwargs)
-        # Fixed unrolled budget for the whole-solve kernel (same trade as
-        # the PMPC/LMPC kernels: warm receding-horizon solves converge in
-        # 1-2 iterations; AL multipliers warm across control steps via V).
+        # Fixed unrolled budget for the whole-solve kernel. Defaults match
+        # the robust evaluator budget (6 iters x 3 AL rounds x 4 alphas):
+        # the former throughput-tuned 2x2x3 under-converges in closed loop
+        # under stiff RLS estimates (|theta| ~ 10 on rolling objects) and
+        # feeds divergence back through the estimator — pass lower budgets
+        # explicitly only for open-loop throughput benchmarking. Lanes that
+        # remain non-stationary (projected grad > kernel_tol_grad) or
+        # infeasible (viol > cfg.tol_con) after the solve trigger up to
+        # `kernel_max_extra_rounds` warm kernel re-solves.
         self.kernel_iters = kernel_iters
         self.kernel_alphas = kernel_alphas
         self.kernel_al_rounds = kernel_al_rounds
+        self.kernel_tol_grad = kernel_tol_grad
+        self.kernel_max_extra_rounds = kernel_max_extra_rounds
 
     def init_carry_batch(self, states0: jnp.ndarray,
                          dtype=jnp.float32) -> RMPCCarry:
@@ -319,20 +368,52 @@ class RMPCBatch(RMPC):
             from dart_tpu.ops.pallas.rmpc_solve import rmpc_solve_pallas
             tl = lambda x: jnp.moveaxis(x, 0, -1)
             wk = jnp.stack([w.Qp, w.Qv, w.Ru, w.Rdu])
-            V, cost, viol = rmpc_solve_pallas(
-                tl(theta), tl(refs), wk, tl(z0),
-                jnp.moveaxis(carry.V, 0, -1), dt=self.dt,
-                u_bound=self.u_bound, du_bound=self.du_bound,
-                vmax=self.vmax, v_eps=self.v_eps,
-                n_iters=self.kernel_iters, n_alphas=self.kernel_alphas,
-                al_rounds=self.kernel_al_rounds,
-                mu_init=self.cfg.mu_init, mu_scale=self.cfg.mu_scale,
-                mu_max=self.cfg.mu_max, tol_con=self.cfg.tol_con)
-            V = jnp.moveaxis(V, -1, 0)
+
+            def one_round(V):
+                Vn, cost, viol = rmpc_solve_pallas(
+                    tl(theta), tl(refs), wk, tl(z0), jnp.moveaxis(V, 0, -1),
+                    dt=self.dt,
+                    u_bound=self.u_bound, du_bound=self.du_bound,
+                    vmax=self.vmax, v_eps=self.v_eps,
+                    n_iters=self.kernel_iters, n_alphas=self.kernel_alphas,
+                    al_rounds=self.kernel_al_rounds,
+                    mu_init=self.cfg.mu_init, mu_scale=self.cfg.mu_scale,
+                    mu_max=self.cfg.mu_max, tol_con=self.cfg.tol_con)
+                return jnp.moveaxis(Vn, -1, 0), cost, viol
+
+            def pg(V):
+                return ilqr.projected_grad_norm(self.ocp, params, aux, z0, V)
+
+            def needs_help(V, viol, gnorm):
+                # Raw projected gradient is only a stationarity test where
+                # the velocity-cap constraints are strictly inactive; on
+                # active/violated lanes feasibility is the criterion.
+                cmax = ilqr.constraint_max(self.ocp, params, aux, z0, V)
+                inactive = cmax < -1e-3
+                return (viol > self.cfg.tol_con) | \
+                    (inactive & (gnorm > self.kernel_tol_grad))
+
+            V, cost, viol = one_round(carry.V)
+            gnorm = pg(V)
+
+            def esc_cond(c):
+                V, _, vl, gn, r = c
+                return (r < self.kernel_max_extra_rounds) & \
+                    jnp.any(needs_help(V, vl, gn))
+
+            def esc_body(c):
+                V, _, _, _, r = c
+                V2, cost2, viol2 = one_round(V)
+                return V2, cost2, viol2, pg(V2), r + 1
+
+            V, cost, viol, gnorm, rounds = jax.lax.while_loop(
+                esc_cond, esc_body,
+                (V, cost, viol, gnorm, jnp.zeros((), jnp.int32)))
+            iters = jnp.broadcast_to(
+                (1 + rounds) * self.kernel_iters * self.kernel_al_rounds,
+                (B,)).astype(jnp.int32)
             sol = ilqr.ILQRSolution(V=V, Z=None, K=None, cost=cost,
-                                    viol=viol,
-                                    iters=jnp.zeros((B,), jnp.int32),
-                                    grad_norm=jnp.zeros((B,), states.dtype))
+                                    viol=viol, iters=iters, grad_norm=gnorm)
         else:
             sol = ilqr.solve_batch(self.ocp, self.cfg, params, aux, z0,
                                    carry.V, use_pallas=use_pallas)
@@ -423,15 +504,22 @@ class LMPCBatch(LMPC):
 
     def __init__(self, N: int = 20, dt: float = 0.002, u_bound: float = 0.4,
                  cfg: ilqr.ILQRConfig = ilqr.ILQRConfig(), fast: bool = False,
-                 kernel_iters: int = 2, kernel_alphas: int = 3):
+                 kernel_iters: int = 2, kernel_alphas: int = 3,
+                 kernel_tol_grad: float = 5e-3,
+                 kernel_max_extra_rounds: int = 2):
         super().__init__(N=N, dt=dt, u_bound=u_bound, cfg=cfg, fast=fast)
         self.u_bound = u_bound
         # Fixed unrolled budget for the whole-solve kernel (everything is
         # VMEM-resident and compile time grows with iters * alphas * N; 2
         # iterations recover warm-started receding-horizon accuracy, same
-        # trade as the PMPC kernel).
+        # trade as the PMPC kernel). NOTE: cfg.max_iters governs only the
+        # XLA paths. Lanes whose post-solve projected-gradient norm exceeds
+        # `kernel_tol_grad` trigger up to `kernel_max_extra_rounds` warm
+        # kernel re-solves.
         self.kernel_iters = kernel_iters
         self.kernel_alphas = kernel_alphas
+        self.kernel_tol_grad = kernel_tol_grad
+        self.kernel_max_extra_rounds = kernel_max_extra_rounds
 
     def init_carry_batch(self, batch: int, dtype=jnp.float32) -> LMPCCarry:
         return jax.vmap(lambda _: self.init_carry(dtype))(jnp.arange(batch))
@@ -456,16 +544,39 @@ class LMPCBatch(LMPC):
         if kernel_ok:
             from dart_tpu.ops.pallas.lmpc_solve import lmpc_solve_pallas
             tl = lambda x: jnp.moveaxis(x, 0, -1)
-            V, cost = lmpc_solve_pallas(
-                tl(pvecs), tl(w.Q), tl(w.R), tl(w.Qt), tl(targets), tl(z0),
-                jnp.moveaxis(carry.V, 0, -1), dt=self.dt,
-                u_bound=self.u_bound,
-                n_iters=self.kernel_iters, n_alphas=self.kernel_alphas)
-            V = jnp.moveaxis(V, -1, 0)
+
+            def one_round(V):
+                Vn, cost = lmpc_solve_pallas(
+                    tl(pvecs), tl(w.Q), tl(w.R), tl(w.Qt), tl(targets),
+                    tl(z0), jnp.moveaxis(V, 0, -1), dt=self.dt,
+                    u_bound=self.u_bound,
+                    n_iters=self.kernel_iters, n_alphas=self.kernel_alphas)
+                return jnp.moveaxis(Vn, -1, 0), cost
+
+            def pg(V):
+                return ilqr.projected_grad_norm(self.ocp, pvecs, aux, z0, V)
+
+            V, cost = one_round(carry.V)
+            gnorm = pg(V)
+
+            def esc_cond(c):
+                _, _, gn, r = c
+                return (r < self.kernel_max_extra_rounds) & \
+                    (jnp.max(gn) > self.kernel_tol_grad)
+
+            def esc_body(c):
+                V, _, _, r = c
+                V2, cost2 = one_round(V)
+                return V2, cost2, pg(V2), r + 1
+
+            V, cost, gnorm, rounds = jax.lax.while_loop(
+                esc_cond, esc_body,
+                (V, cost, gnorm, jnp.zeros((), jnp.int32)))
             z = jnp.zeros((B,), states.dtype)
+            iters = jnp.broadcast_to(
+                (1 + rounds) * self.kernel_iters, (B,)).astype(jnp.int32)
             sol = ilqr.ILQRSolution(V=V, Z=None, K=None, cost=cost, viol=z,
-                                    iters=jnp.zeros((B,), jnp.int32),
-                                    grad_norm=z)
+                                    iters=iters, grad_norm=gnorm)
         else:
             sol = ilqr.solve_batch(self.ocp, self.cfg, pvecs, aux, z0,
                                    carry.V, use_pallas=use_pallas)

@@ -105,7 +105,7 @@ def _scale_add_eye(M, s):
     return jnp.stack(rows)
 
 
-def _rk4_jac_lanes(f, jac, x, v, dt, scale_add_eye=None):
+def _rk4_jac_lanes(f, jac, x, v, dt):
     """Exact (Ad, Bd) of an RK4 step in (n,*,L) lane algebra.
 
     Mirrors `models.dynamics.rk4_jac` (exact chain rule through the four

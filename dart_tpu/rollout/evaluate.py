@@ -374,15 +374,19 @@ def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
                               control_every: int = 5, warmup_steps: int = 250,
                               N: int = 15, u_bound: float = 0.6,
                               max_iters: int = 4, tol: float = 0.01,
-                              use_kernel: bool = True):
+                              use_kernel: bool = True, kernel_iters: int = 2,
+                              kernel_alphas: int = 3):
     """Batch-major PMPC evaluator: B scenarios in ONE jitted scan, one
     `PMPCBatch.solve` per control step — the whole-solve Pallas kernel
     (`ops.pallas.pmpc_solve`) on TPU when B % 128 == 0. Per-object weight
-    tables selected per lane, matching `make_pmpc_evaluator`."""
+    tables selected per lane, matching `make_pmpc_evaluator`. `max_iters`
+    governs the XLA fallback path; `kernel_iters`/`kernel_alphas` the
+    kernel budget (under-converged lanes self-escalate, see PMPCBatch)."""
     ctrl_dt = dt * control_every
     ctlr = mpc_mod.PMPCBatch(N=N, dt=ctrl_dt, u_bound=u_bound,
                              cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters),
-                             use_kernel=use_kernel)
+                             use_kernel=use_kernel, kernel_iters=kernel_iters,
+                             kernel_alphas=kernel_alphas)
     step_plant = jax.vmap(to_mod.step, in_axes=(0, 0, 0, None))
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy, assumed_mu=None):

@@ -126,10 +126,14 @@ def tray_tilt_from_quat(quat: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([-e[1], e[0]])
 
 
-def full_step(scene: DualArmScene, state: FullState, u_cmd: jnp.ndarray,
-              obj_params: to_mod.TrayObjectParams, dt: float,
-              qp_iters: int = 60) -> FullState:
-    """One 2 ms step of the complete dual-arm + tray + object world."""
+def compute_arm_torques(scene: DualArmScene, state: FullState,
+                        u_cmd: jnp.ndarray,
+                        obj_params: to_mod.TrayObjectParams,
+                        qp_iters: int = 60):
+    """DACTL + both impedance QPs at the current state: tray tilt command ->
+    (armL', armR', tauL, tauR). Factored out of `full_step` so the QP rate
+    can differ from the world rate (stale-torque replay, `arm.py:221-229`).
+    """
     dtype = state.qL.dtype
     tray_target_pos = obj_params.tray_pos
     tray_target_quat = tilt_to_quat(u_cmd).astype(dtype)
@@ -149,7 +153,15 @@ def full_step(scene: DualArmScene, state: FullState, u_cmd: jnp.ndarray,
     armR, tauR, _ = arm_mod.compute_torque(state.armR, dynR, tgtR.pos,
                                            tgtR.quat, scene.arm_params,
                                            qp_iters=qp_iters)
+    return armL, armR, tauL, tauR
 
+
+def advance_world(scene: DualArmScene, state: FullState,
+                  armL, armR, tauL, tauR,
+                  obj_params: to_mod.TrayObjectParams,
+                  dt: float) -> FullState:
+    """Apply given torques and advance arms + tray + object by one dt."""
+    dtype = state.qL.dtype
     # Each arm carries half the tray+object weight at the EE.
     load = -(TRAY_MASS + obj_params.mass) * chain_mod.GRAVITY / 2.0
     f_ext = jnp.concatenate([jnp.stack([0.0, 0.0, load]).astype(dtype),
@@ -169,6 +181,16 @@ def full_step(scene: DualArmScene, state: FullState, u_cmd: jnp.ndarray,
 
     return FullState(qL=qL, qdL=qdL, qR=qR, qdR=qdR, armL=armL, armR=armR,
                      obj=obj)
+
+
+def full_step(scene: DualArmScene, state: FullState, u_cmd: jnp.ndarray,
+              obj_params: to_mod.TrayObjectParams, dt: float,
+              qp_iters: int = 60) -> FullState:
+    """One 2 ms step of the complete dual-arm + tray + object world."""
+    armL, armR, tauL, tauR = compute_arm_torques(scene, state, u_cmd,
+                                                 obj_params, qp_iters)
+    return advance_world(scene, state, armL, armR, tauL, tauR, obj_params,
+                         dt)
 
 
 def observe_object(state: FullState, obj_params: to_mod.TrayObjectParams):
@@ -195,18 +217,27 @@ def observe_object_8(state: FullState, obj_params: to_mod.TrayObjectParams):
 
 
 @partial(jax.jit, static_argnames=("solve_fn", "n_steps", "control_every",
-                                   "warmup_steps", "qp_iters", "observe"))
+                                   "warmup_steps", "qp_iters", "observe",
+                                   "qp_every"))
 def run_full_stack(scene: DualArmScene, solve_fn: Callable, ctrl_carry0: Any,
                    state0: FullState, target: jnp.ndarray,
                    obj_params: to_mod.TrayObjectParams, n_steps: int,
                    dt: float = 0.002, control_every: int = 1,
                    warmup_steps: int = 0, qp_iters: int = 60,
-                   observe: Callable = observe_object):
+                   observe: Callable = observe_object, qp_every: int = 1):
     """Closed loop over the full stack. solve_fn(carry, obs, target) ->
-    (carry, u, diag). Returns stacked (obj states, controls, final state)."""
+    (carry, u, diag). Returns stacked (obj states, controls, final state).
+
+    `qp_every` replays the reference's arm-QP deadline semantics
+    (`PMPC/src/controller/arm.py:221-229`): the per-arm impedance QP waits
+    up to 5 ms for its worker and falls back to the STALE torque on a miss.
+    With qp_every=k the QPs re-solve every k-th 2 ms world step and the
+    last torques are held in between — qp_every=3 reproduces a persistent
+    ~5 ms deadline miss; 1 (default) is the deadline-met case.
+    """
 
     def stepf(carry, k):
-        ctrl_carry, st, u_held = carry
+        ctrl_carry, st, u_held, tau_held = carry
         obs = observe(st, obj_params)
         do_solve = (k >= warmup_steps) & ((k - warmup_steps) % control_every == 0)
 
@@ -219,10 +250,29 @@ def run_full_stack(scene: DualArmScene, solve_fn: Callable, ctrl_carry0: Any,
 
         ctrl_carry, u = jax.lax.cond(do_solve, s_branch, h_branch, ctrl_carry)
         u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
-        st = full_step(scene, st, u_apply, obj_params, dt, qp_iters=qp_iters)
-        return (ctrl_carry, st, u), (st.obj.p, st.obj.theta, u_apply)
 
-    (ctrl_carry, st, _), (ps, thetas, us) = jax.lax.scan(
-        stepf, (ctrl_carry0, state0, jnp.zeros(2, state0.qL.dtype)),
+        if qp_every == 1:
+            st = full_step(scene, st, u_apply, obj_params, dt,
+                           qp_iters=qp_iters)
+            tau_new = tau_held
+        else:
+            def qp_branch(st):
+                armL, armR, tL, tR = compute_arm_torques(
+                    scene, st, u_apply, obj_params, qp_iters)
+                return st._replace(armL=armL, armR=armR), \
+                    jnp.concatenate([tL, tR])
+
+            def stale_branch(st):
+                return st, tau_held
+
+            st, tau_new = jax.lax.cond(k % qp_every == 0, qp_branch,
+                                       stale_branch, st)
+            st = advance_world(scene, st, st.armL, st.armR, tau_new[:7],
+                               tau_new[7:], obj_params, dt)
+        return (ctrl_carry, st, u, tau_new), (st.obj.p, st.obj.theta, u_apply)
+
+    (ctrl_carry, st, _, _), (ps, thetas, us) = jax.lax.scan(
+        stepf, (ctrl_carry0, state0, jnp.zeros(2, state0.qL.dtype),
+                jnp.zeros(14, state0.qL.dtype)),
         jnp.arange(n_steps))
     return ps, thetas, us, st

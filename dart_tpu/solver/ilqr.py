@@ -458,6 +458,65 @@ def solve_batch(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
                         grad_norm=gnorms[-1])
 
 
+def projected_grad_norm(ocp: OCPDef, params, aux, z0: jnp.ndarray,
+                        V: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane first-order stationarity of the RAW objective at V:
+    max |V - clip(V - dJ/dV, u_lo, u_hi)| over the horizon.
+
+    Zero at a box-constrained optimum; the post-hoc convergence diagnostic
+    for the fixed-budget whole-solve kernel paths (which cannot surface
+    their internal feedforward norms) — one vjp through the rollout, pure
+    XLA, so it composes with any solver. Inequality-constrained OCPs should
+    additionally check the kernel-reported `viol`.
+
+    Args: params/aux pytrees with leading batch axes where batched,
+    z0 (B, nz), V (B, N, nu). Returns (B,).
+    """
+    B = V.shape[0]
+    u_lo = jnp.asarray(ocp.u_lo, V.dtype)
+    u_hi = jnp.asarray(ocp.u_hi, V.dtype)
+
+    def axes_of(tree):
+        return jax.tree.map(
+            lambda x: 0 if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
+                            and x.shape[0] == B) else None, tree)
+
+    def J(p, a, z, v):
+        Z = _rollout(ocp, p, z, v)
+        return _raw_cost(ocp, a, Z, v)
+
+    g = jax.vmap(jax.grad(J, argnums=3),
+                 in_axes=(axes_of(params), axes_of(aux), 0, 0))(
+                     params, aux, z0, V)
+    step = jnp.clip(V - g, u_lo, u_hi) - V
+    return jnp.max(jnp.abs(step), axis=(1, 2))
+
+
+def constraint_max(ocp: OCPDef, params, aux, z0: jnp.ndarray,
+                   V: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane max RAW constraint value (signed: negative = strictly
+    feasible/inactive) along the trajectory induced by V. Companion to
+    `projected_grad_norm`: where constraints are strictly inactive the raw
+    projected gradient is a valid stationarity test; where they are active
+    the AL gradient differs from the raw one and feasibility (`viol`) is
+    the criterion instead. Returns (B,)."""
+    B, N = V.shape[0], V.shape[1]
+
+    def axes_of(tree):
+        return jax.tree.map(
+            lambda x: 0 if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
+                            and x.shape[0] == B) else None, tree)
+
+    def cmax(p, a, z, v):
+        Z = _rollout(ocp, p, z, v)
+        C = jax.vmap(lambda k, zk, vk: ocp.constraints(zk, vk, k, a))(
+            jnp.arange(N), Z[:-1], v)
+        return jnp.max(C)
+
+    return jax.vmap(cmax, in_axes=(axes_of(params), axes_of(aux), 0, 0))(
+        params, aux, z0, V)
+
+
 @functools.partial(jax.jit, static_argnames=("ocp", "cfg"))
 def solve(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
           V_init: jnp.ndarray) -> ILQRSolution:

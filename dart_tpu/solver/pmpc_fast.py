@@ -87,11 +87,11 @@ def _dcdu(u, g, dt):
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "u_bound", "n_iters",
-                                             "n_alphas"))
+                                             "n_alphas", "g"))
 def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
                        V_init: jnp.ndarray, dt: float = 0.002,
                        u_bound: float = 0.6, n_iters: int = 2,
-                       n_alphas: int = 3):
+                       n_alphas: int = 3, g: float = dyn.GRAVITY_Z):
     """Whole-solve Pallas kernel path (batch-first API).
 
     The entire box-DDP solve runs inside ONE Pallas kernel per 128-lane tile
@@ -103,7 +103,7 @@ def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
     from dart_tpu.ops.pallas.pmpc_solve import pmpc_solve_pallas
 
     dtype = V_init.dtype
-    gq = jnp.asarray(dyn.GRAVITY_Z, dtype)
+    gq = jnp.asarray(g, dtype)
     Ad, Sd = _affine_discretization(mu.astype(dtype), gq, dt)
     wdiag = (aux.Qp[:, None] * jnp.asarray([1, 0, 1, 0, 0, 0], dtype) +
              aux.Qv[:, None] * jnp.asarray([0, 1, 0, 1, 0, 0], dtype))
@@ -111,7 +111,7 @@ def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
     V, cost = pmpc_solve_pallas(
         tl(Ad), tl(Sd), tl(wdiag), aux.R.astype(dtype), tl(aux.target),
         tl(z0), tl(V_init), dt=dt, u_bound=u_bound,
-        g=float(dyn.GRAVITY_Z), n_iters=n_iters, n_alphas=n_alphas)
+        g=float(g), n_iters=n_iters, n_alphas=n_alphas)
     return jnp.moveaxis(V, -1, 0), cost
 
 

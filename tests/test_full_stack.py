@@ -129,3 +129,40 @@ def test_full_stack_pmpc_closed_loop_reaches_target():
     assert np.all(np.abs(np.asarray(us)) <= 0.6 + 1e-9)
     # Tilt commands actually moved the tray.
     assert float(np.abs(np.asarray(thetas)).max()) > 0.02
+
+
+def test_stale_torque_qp_lag_graceful():
+    """P2 stale-torque replay (`arm.py:221-229`): with the arm QPs
+    re-solving only every 3rd world step (a persistent ~5 ms deadline
+    miss), the held-torque loop degrades gracefully — the PMPC episode
+    still converges, with at most a modest accuracy penalty vs the
+    deadline-met run — matching the reference's described fallback
+    behaviour."""
+    import numpy as np
+    scene = fs.make_scene(dt=DT, dtype=jnp.float64)
+    obj_params = to_mod.make_params("cube", mass=1.0, mu=0.1,
+                                    dtype=jnp.float64)
+    ctlr = mpc_mod.PMPC(N=15, dt=DT * 5,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=6))
+    params = dyn.PMPCParams(mu=jnp.asarray(0.1, jnp.float64), dt=DT * 5)
+    w = mpc_mod.PMPC_WEIGHTS["cube"]
+    target6 = jnp.asarray([0.05, 0.0, -0.04, 0.0, 0.43, 0.0], jnp.float64)
+
+    def solve_fn(c, obs, t):
+        return ctlr.solve(c, obs, t, params, w)
+
+    finals = {}
+    for qp_every in (1, 3):
+        ps, thetas, us, _ = fs.run_full_stack(
+            scene, solve_fn, ctlr.init_carry(jnp.float64),
+            fs.init_full_state(jnp.float64), target6, obj_params,
+            n_steps=2000, dt=DT, control_every=5, warmup_steps=250,
+            qp_iters=40, qp_every=qp_every)
+        err = np.linalg.norm(np.asarray(ps)[:, :2] - np.array([0.05, -0.04]),
+                             axis=1)
+        assert np.all(np.isfinite(np.asarray(ps))), qp_every
+        finals[qp_every] = err[-1]
+    # deadline-met run converges; stale-torque run still converges (the
+    # reference tolerates 5 ms misses without losing the episode)
+    assert finals[1] < 0.01, finals
+    assert finals[3] < 0.015, finals

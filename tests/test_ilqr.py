@@ -218,3 +218,51 @@ def test_solver_vmap_batch():
     for i in range(B):
         single = np.asarray(one(mus[i], targets[i], z0s[i]))
         assert np.allclose(batched[i], single, atol=1e-8)
+
+
+def test_projected_grad_norm_and_constraint_max():
+    """Diagnostics for the whole-solve kernel paths: pg ~ 0 at a converged
+    solution, large at a junk warm start; constraint_max signs correct."""
+    import numpy as np
+
+    from dart_tpu.control import mpc as mpc_mod
+    from dart_tpu.models import dynamics as dyn
+
+    B = 8
+    rng = np.random.default_rng(0)
+    dtype = jnp.float64
+    states = jnp.asarray(rng.normal(size=(B, 6)) * 0.05, dtype)
+    z = jnp.zeros((B,), dtype)
+    targets = jnp.stack([jnp.asarray(rng.uniform(-0.1, 0.1, B), dtype), z,
+                         jnp.asarray(rng.uniform(-0.1, 0.1, B), dtype), z,
+                         jnp.full((B,), 0.43, dtype), z], axis=-1)
+    ocp = mpc_mod.make_pmpc_ocp(dt=0.01, u_bound=0.6)
+    cfg = ilqr.ILQRConfig(max_iters=30)
+    params = dyn.PMPCParams(mu=jnp.full((B,), 0.1, dtype), dt=0.01)
+    aux = mpc_mod.PMPCAux(target=targets, Qp=jnp.full((B,), 300.0, dtype),
+                          Qv=jnp.full((B,), 2.0, dtype),
+                          R=jnp.full((B,), 0.2, dtype))
+    sol = ilqr.solve_batch(ocp, cfg, params, aux, states,
+                           jnp.zeros((B, 15, 2), dtype), use_pallas=False)
+    pg_conv = ilqr.projected_grad_norm(ocp, params, aux, states, sol.V)
+    assert float(jnp.max(pg_conv)) < 1e-4, float(jnp.max(pg_conv))
+    # a zeroed (unsolved) trajectory is far from stationary
+    pg_junk = ilqr.projected_grad_norm(ocp, params, aux, states,
+                                       jnp.zeros((B, 15, 2), dtype))
+    assert float(jnp.min(pg_junk)) > 10 * float(jnp.max(pg_conv))
+
+    # constraint_max on the slew-exact RMPC OCP: a still trajectory is
+    # strictly feasible (negative margin == -vmax at v=0)
+    ocp_r = mpc_mod.make_rmpc_ocp_du(dt=0.01, u_bound=0.4, du_bound=0.05,
+                                     vmax=0.25)
+    theta = jnp.zeros((B, 14), dtype)
+    params_r = dyn.RMPCParams(theta=theta, v_eps=jnp.full((B,), 0.1, dtype))
+    ref = jnp.zeros((B, 21, 4), dtype)
+    aux_r = mpc_mod.RMPCAux(ref=ref, Qp=jnp.full((B,), 100.0, dtype),
+                            Qv=jnp.full((B,), 1.0, dtype),
+                            Ru=jnp.full((B,), 0.05, dtype),
+                            Rdu=jnp.full((B,), 1.0, dtype))
+    z0 = jnp.zeros((B, 6), dtype)
+    cmax = ilqr.constraint_max(ocp_r, params_r, aux_r, z0,
+                               jnp.zeros((B, 20, 2), dtype))
+    assert float(jnp.max(cmax)) < 0.0
