@@ -26,6 +26,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_episode_steps", type=int, default=2000)
     p.add_argument("--logdir", default="")
+    p.add_argument("--env", default="general",
+                   help="eval world: 'general' = randomized analytic-plant "
+                        "episodes, or a named 18-grid config like "
+                        "'cube_1x0_0x1' (`run.py:30-34` world_{env} "
+                        "selection) evaluated on the contact plant")
+    p.add_argument("--target", nargs=2, type=float, default=[0.10, 0.05],
+                   help="per-env eval target (tray-frame xy)")
+    p.add_argument("--tag", default="", help="log path tag (`run.py:21`)")
     args = p.parse_args(argv)
     assert not (args.train and args.test), "choose either --train or --test"
     training = args.train or not args.test
@@ -83,6 +91,49 @@ def main(argv=None):
                           "(reference falls back to training, rlmpc2.py:574)"}))
         return 1
     params = restored["params"]
+
+    if args.env != "general":
+        # Per-env eval on the CONTACT plant, named like the reference's
+        # world_{env}.xml selection (`run.py:30-34`): cube_1x0_0x1 etc.
+        import jax.numpy as jnp
+
+        from dart_tpu.io.results import env_name, parse_env_name
+        from dart_tpu.physics import tray_object as to_mod
+        from dart_tpu.rollout.evaluate import make_lmpc_evaluator
+
+        obj, mass, mu = parse_env_name(args.env)
+        obj_params = to_mod.make_params(obj, mass=mass, mu=mu)
+        evaluate = make_lmpc_evaluator(
+            params, model, n_steps=args.eval_episode_steps,
+            N=args.mpc_horizon, trace=True)
+        dtype = obj_params.mass.dtype
+        results, (ps, us) = jax.jit(evaluate)(
+            obj_params.kappa_inv, obj_params.mass, obj_params.mu,
+            jnp.asarray(args.target, dtype),
+            jax.random.PRNGKey(args.seed + 3))
+        pos_err = np.linalg.norm(
+            np.asarray(ps)[:, :2] - np.asarray(args.target), axis=-1)
+        if args.logdir:
+            from dart_tpu.io.logging import EpisodicNpy
+            # reference log path schema: {tag}_test/{env}.npy
+            # (`results.py:22`)
+            tag = args.tag or args.logdir
+            store = EpisodicNpy(f"{tag}_test/{env_name(obj, mass, mu)}.npy")
+            store.log("pos_error", pos_err)
+            store.log("u_cmd", np.asarray(us))
+            store.log("timestep", np.arange(len(pos_err)) * 0.01)
+            store.save()
+        m = results.metrics
+        print(json.dumps({
+            "env": args.env, "plant": "contact",
+            "target": list(args.target),
+            "converged": bool(m.converged),
+            "steady_state_error_mm": round(float(m.steady_state_error) * 1e3,
+                                           3),
+            "convergence_time_s": float(m.convergence_time),
+            "control_effort": round(float(m.control_effort), 4),
+        }))
+        return 0
 
     env_states = jax.vmap(
         lambda r: trainer.env_init(r, ctlr, env_cfg))(

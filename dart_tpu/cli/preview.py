@@ -13,9 +13,13 @@ import json
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from dart_tpu.physics.object_presets import PRESETS
     p.add_argument("--object", default="cube",
-                   choices=["cube", "cylinder", "sphere"])
-    p.add_argument("--mass", type=float, default=1.0)
+                   choices=["cube", "cylinder", "sphere"] +
+                   sorted(PRESETS))
+    p.add_argument("--mass", type=float, default=None,
+                   help="override mass (presets default to their extracted "
+                        "mass; primitives to 1.0 kg)")
     p.add_argument("--mu", type=float, default=0.1)
     p.add_argument("--tilt", type=float, nargs=2, default=[0.12, 0.0])
     p.add_argument("--seconds", type=float, default=2.0)
@@ -31,7 +35,11 @@ def main(argv=None):
 
     dt = 0.002
     T = int(args.seconds / dt)
-    params = to_mod.make_params(args.object, args.mass, args.mu)
+    if args.object in ("cube", "cylinder", "sphere"):
+        params = to_mod.make_params(args.object, args.mass or 1.0, args.mu)
+    else:
+        from dart_tpu.physics.object_presets import make_preset_params
+        params = make_preset_params(args.object, mu=args.mu, mass=args.mass)
     u = jnp.asarray(args.tilt, jnp.float32)
 
     @jax.jit

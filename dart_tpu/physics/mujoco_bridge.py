@@ -79,15 +79,22 @@ def make_world(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
     body = spec.body(OBJECT_BODY)
     geom = body.geoms[0]
     fric = [mu, mu, 0.001]
+    quat0 = [1.0, 0.0, 0.0, 0.0]
     if shape == "cube":
         geom.type = mujoco.mjtGeom.mjGEOM_BOX
         h = 0.5 * edge
         geom.size = [h, h, h]
         rest_h = h
     elif shape == "cylinder":
+        # The reference's cylinders lie ON THEIR SIDE and roll: the PMPC
+        # cylinder worlds' home keyframe rotates the free body 90 deg
+        # (`world_cylinder_*.xml` keyframe quat 0.5 0 0.5 0) and the LMPC
+        # randomiser selects keyframe `home2` (object quat 0.707 0.707 0 0)
+        # for cylinders (`run.py:213-218`, `world_general.xml:174`).
         geom.type = mujoco.mjtGeom.mjGEOM_CYLINDER
         geom.size = [radius, 0.5 * height, 0.0]
-        rest_h = 0.5 * height
+        rest_h = radius
+        quat0 = [0.7071068, 0.7071068, 0.0, 0.0]
     elif shape == "sphere":
         geom.type = mujoco.mjtGeom.mjGEOM_SPHERE
         geom.size = [radius, 0.0, 0.0]
@@ -102,8 +109,7 @@ def make_world(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
     # `world_general.xml:173` — object free joint is the last 7 qpos).
     key = spec.key("home")
     qpos = np.array(key.qpos)
-    qpos[-7:] = [obj_xy[0], obj_xy[1], TRAY_TOP_Z + rest_h + drop,
-                 1.0, 0.0, 0.0, 0.0]
+    qpos[-7:] = [obj_xy[0], obj_xy[1], TRAY_TOP_Z + rest_h + drop] + quat0
     key.qpos = qpos
 
     model = spec.compile()

@@ -49,6 +49,18 @@ TRAY_LIMIT_X = 0.2
 TRAY_LIMIT_Y = 0.15
 
 SHAPES = ("cube", "cylinder", "sphere")
+
+# Tray-tracking lag measured against the REAL MuJoCo reference world
+# (tools/calibrate_tray_object.py: step-response fit of the realised tray
+# tilt when the full dart_tpu arm stack drives mj_step; artifact
+# artifacts/mujoco/tray_object_calibration.npz). Heavily overdamped and
+# per-axis asymmetric — the theta_x axis is structurally stiff (grasp-line
+# height difference) but slow, theta_y faster. The r1 default (40, 1.0)
+# is optimistic: with the calibrated lag the contact-plant PMPC
+# convergence time lands within 5% of the MuJoCo closed loop (0.97 s vs
+# 1.03 s on cube/1kg/mu=0.1). Pass via make_params(..., calibrated=True)
+# or the evaluators' tray_lag argument.
+CALIBRATED_TRAY_LAG = ((46.4, 99.8), (10.7, 4.9))   # (omega_n_xy, zeta_xy)
 # Per-axis inverse rolling factors kappa_inv = 1/kappa (see module docstring).
 _KAPPA_INV = {
     "cube": (0.0, 0.0),
@@ -80,13 +92,18 @@ class TrayObjectParams(NamedTuple):
 
 
 def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
-                slip_eps: float = 2e-3, omega_n: float = 40.0,
-                zeta: float = 1.0, tray_height: float = 0.4,
-                size: float = 0.05, dtype=jnp.float32) -> TrayObjectParams:
+                slip_eps: float = 2e-3, omega_n=40.0,
+                zeta=1.0, tray_height: float = 0.4,
+                size: float = 0.05, dtype=jnp.float32,
+                calibrated: bool = False) -> TrayObjectParams:
     """`size` is the characteristic dimension (cube edge / cylinder diameter
     / sphere diameter), matching the 5 cm default of `cube_geom`
-    (`LMPC/models/xarm7/world_general.xml:152-163`)."""
+    (`LMPC/models/xarm7/world_general.xml:152-163`). omega_n/zeta may be
+    scalars or per-axis (2,) pairs; ``calibrated=True`` uses the
+    MuJoCo-measured CALIBRATED_TRAY_LAG instead."""
     a = lambda x: jnp.asarray(x, dtype)
+    if calibrated:
+        omega_n, zeta = CALIBRATED_TRAY_LAG
     half = size / 2.0
     return TrayObjectParams(
         mass=a(mass), mu=a(mu), kappa_inv=a(_KAPPA_INV[shape]),

@@ -39,7 +39,8 @@ def _select_weights(shape_id, dtype):
 def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
                         control_every: int = 5, warmup_steps: int = 250,
                         N: int = 15, u_bound: float = 0.6,
-                        max_iters: int = 10, tol: float = 0.01):
+                        max_iters: int = 10, tol: float = 0.01,
+                        tray_lag=None):
     """Build a jittable (scenario -> metrics) evaluator.
 
     The MPC runs at dt*control_every (10 ms ~ the reference's ~100 Hz
@@ -54,14 +55,8 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
     def evaluate(shape_kappa_inv, mass, mu, target_xy,
                  assumed_mu=None) -> PMPCScenarioResult:
         dtype = mass.dtype
-        obj_params = to_mod.TrayObjectParams(
-            mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
-            slip_eps=jnp.asarray(2e-3, dtype),
-            omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
-            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
-            half_w=jnp.asarray([0.025, 0.025], dtype),
-            h_com=jnp.asarray(0.025, dtype),
-            topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
+        obj_params = _tray_params(shape_kappa_inv, mass, mu, dtype,
+                                  tray_lag)
         # The analytic MPC model assumes the commanded friction (the driver
         # passes --friction straight to the model, `main_parallel.py:109`).
         model_mu = mu if assumed_mu is None else assumed_mu
@@ -111,7 +106,7 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
                         control_every: int = 5, warmup_steps: int = 250,
                         N: int = 15, u_bound: float = 0.6,
                         n_samples: int = 256, n_iters: int = 2,
-                        tol: float = 0.01, seed: int = 0):
+                        tol: float = 0.01, seed: int = 0, tray_lag=None):
     """Sampling-MPC (MPPI ensemble) scenario evaluator: the same PMPC OCP
     solved by parallel rollout ensembles instead of box-DDP — the
     "MPPI-style rollout ensembles per solve" benchmark mode."""
@@ -125,14 +120,8 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy):
         dtype = mass.dtype
-        obj_params = to_mod.TrayObjectParams(
-            mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
-            slip_eps=jnp.asarray(2e-3, dtype),
-            omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
-            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
-            half_w=jnp.asarray([0.025, 0.025], dtype),
-            h_com=jnp.asarray(0.025, dtype),
-            topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
+        obj_params = _tray_params(shape_kappa_inv, mass, mu, dtype,
+                                  tray_lag)
         params = dyn.PMPCParams(mu=mu, dt=ctrl_dt)
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
                              jnp.where(shape_kappa_inv[0] > 0, 1, 0))
@@ -180,7 +169,7 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
 def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
                         control_every: int = 5, warmup_steps: int = 250,
                         N: int = 20, max_iters: int = 10, tol: float = 0.01,
-                        trace: bool = False):
+                        trace: bool = False, tray_lag=None):
     """RMPC (RLS-adaptive) scenario evaluator vs the contact plant — the
     closed-loop analogue of `rob_ctrl.py:331-416` with the RLS update,
     reference governor and staged reference inside the jitted loop.
@@ -195,14 +184,8 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy):
         dtype = mass.dtype
-        obj_params = to_mod.TrayObjectParams(
-            mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
-            slip_eps=jnp.asarray(2e-3, dtype),
-            omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
-            tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
-            half_w=jnp.asarray([0.025, 0.025], dtype),
-            h_com=jnp.asarray(0.025, dtype),
-            topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
+        obj_params = _tray_params(shape_kappa_inv, mass, mu, dtype,
+                                  tray_lag)
         target4 = jnp.asarray([target_xy[0], 0.0, target_xy[1], 0.0], dtype)
 
         def observe(s):
@@ -258,12 +241,15 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
     return evaluate
 
 
-def _tray_params(shape_kappa_inv, mass, mu, dtype):
-    """Scenario row -> TrayObjectParams (vmappable)."""
+def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
+    """Scenario row -> TrayObjectParams (vmappable). `tray_lag` is an
+    optional (omega_n, zeta) pair — scalars or per-axis (2,) tuples; pass
+    `to_mod.CALIBRATED_TRAY_LAG` for the MuJoCo-measured tray response."""
+    omega_n, zeta = tray_lag if tray_lag is not None else (40.0, 1.0)
     return to_mod.TrayObjectParams(
         mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
         slip_eps=jnp.asarray(2e-3, dtype),
-        omega_n=jnp.asarray(40.0, dtype), zeta=jnp.asarray(1.0, dtype),
+        omega_n=jnp.asarray(omega_n, dtype), zeta=jnp.asarray(zeta, dtype),
         tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
         half_w=jnp.asarray([0.025, 0.025], dtype),
         h_com=jnp.asarray(0.025, dtype),
@@ -275,7 +261,8 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
                         warmup_steps: int = 250, N: int = 12,
                         max_iters: int = 4, tol: float = 0.01,
                         param_update_every: int = 8,
-                        u_sign: float = -1.0):
+                        u_sign: float = -1.0, trace: bool = False,
+                        tray_lag=None):
     """LMPC scenario evaluator on the CONTACT PLANT with the trained policy
     tuning the 34 model parameters online — the closed-loop analogue of
     `LMPC/src/run.py:243-311` with the plant swapped from MuJoCo to
@@ -305,7 +292,8 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy, rng):
         dtype = mass.dtype
-        obj_params = _tray_params(shape_kappa_inv, mass, mu, dtype)
+        obj_params = _tray_params(shape_kappa_inv, mass, mu, dtype,
+                                  tray_lag)
         target8 = jnp.zeros(8, dtype).at[0].set(target_xy[0]).at[2].set(
             target_xy[1])
 
@@ -365,6 +353,8 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
         X = jnp.stack([ps[:, 0], jnp.zeros_like(ps[:, 0]),
                        ps[:, 1], jnp.zeros_like(ps[:, 1])], axis=-1)
         m = compute_metrics(X, us, target_xy, ctrl_dt, tol=tol)
+        if trace:
+            return PMPCScenarioResult(metrics=m, final_p=s_fin.p), (ps, us)
         return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
 
     return evaluate

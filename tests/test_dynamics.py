@@ -155,3 +155,40 @@ def test_dynamics_vmap_consistency(rng):
         batched = np.asarray(jax.vmap(lambda x, u: f(x, u, p))(xs, us))
         single = np.stack([np.asarray(f(xs[i], us[i], p)) for i in range(B)])
         assert np.allclose(batched, single, atol=1e-12)
+
+
+def test_household_presets_slide_and_topple():
+    """C15e breadth: the extracted household presets load, slide under
+    tilt, and the tall-narrow wineglass topples before the wide bowl."""
+    import jax
+    import jax.numpy as jnp
+
+    from dart_tpu.physics import tray_object as to_mod
+    from dart_tpu.physics.object_presets import PRESETS, make_preset_params
+
+    dt = 0.002
+
+    def final_state(name, tilt):
+        params = make_preset_params(name, mu=0.1, dtype=jnp.float64)
+        u = jnp.asarray(tilt, jnp.float64)
+
+        def f(s, _):
+            return to_mod.step(s, u, params, dt), None
+
+        s, _ = jax.lax.scan(f, to_mod.init_state(dtype=jnp.float64),
+                            None, length=500)
+        return s
+
+    for name in PRESETS:
+        s = final_state(name, [0.12, 0.0])
+        assert bool(jnp.all(jnp.isfinite(s.p))), name
+        # mu=0.1, tan(0.12)>mu: every preset slides downhill
+        assert float(s.p[0]) < -1e-3, (name, float(s.p[0]))
+
+    # toppling ordering: wineglass (h_com/half_w ~ 3.4) rocks harder than
+    # the bowl (~1.1) under the same aggressive tilt
+    sg = final_state("wineglass", [0.35, 0.0])
+    sb = final_state("bowl", [0.35, 0.0])
+    rocked_g = max(float(jnp.abs(sg.q_rock[0])), float(sg.toppled))
+    rocked_b = max(float(jnp.abs(sb.q_rock[0])), float(sb.toppled))
+    assert rocked_g >= rocked_b, (rocked_g, rocked_b)

@@ -139,6 +139,12 @@ def test_stale_torque_qp_lag_graceful():
     deadline-met run — matching the reference's described fallback
     behaviour."""
     import numpy as np
+
+    # The two big run_full_stack variants below compile after everything
+    # the suite already JIT'd in this process; without this, XLA-CPU's
+    # compiler aborts (resource exhaustion) when this file runs late in
+    # the full suite (fine standalone).
+    jax.clear_caches()
     scene = fs.make_scene(dt=DT, dtype=jnp.float64)
     obj_params = to_mod.make_params("cube", mass=1.0, mu=0.1,
                                     dtype=jnp.float64)
