@@ -297,6 +297,64 @@ def pmpc_solve_fn(shape: str = "cube", mu: float = 0.1, N: int = 15,
     return solve, ctlr.init_carry(jnp.float64), observe6
 
 
+def observe8(data, idx: MjIndex) -> np.ndarray:
+    """World-frame LMPC 8-state [px, vx, py, vy, th_x, om_x, th_y, om_y]
+    from the OBJECT body's pose (`rlmpc2.py:1034-1042`: xpos/cvel + the
+    body's own roll/pitch — which tracks the tray's while resting on it)."""
+    from scipy.spatial.transform import Rotation as Rot
+
+    p = data.xpos[idx.obj_bid]
+    v = data.cvel[idx.obj_bid][3:5]
+    om = data.cvel[idx.obj_bid][:2]
+    th = Rot.from_matrix(data.xmat[idx.obj_bid].reshape(3, 3)).as_euler(
+        "xyz")[:2]
+    return np.array([p[0], v[0], p[1], v[1], th[0], om[0], th[1], om[1]])
+
+
+def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
+                  max_iters: int = 4, param_update_every: int = 8):
+    """LMPC adapter: trained policy tunes the 34 model params online while
+    the LMPC solves over them — `run.py:243-311` semantics (Welford+history
+    observation, param action every 8 control periods, u *= -1 sign flip,
+    `run.py:256`). The controller carry packs (LMPCCarry, current_k,
+    welford, history, u_prev, step)."""
+    from dart_tpu.adapt import lmpc_trainer as trainer
+    from dart_tpu.adapt import ppo as ppo_mod
+
+    ctlr = mpc_mod.LMPC(N=N, dt=dt,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
+    act_cfg = ppo_mod.ParamActionConfig()
+
+    @jax.jit
+    def solve(carry, obs, target_w):
+        cc, current_k, welford, history, u_prev, k = carry
+        target8 = jnp.zeros(8, jnp.float64).at[0].set(target_w[0]).at[2].set(
+            target_w[1])
+        base = jnp.concatenate([obs, target8, u_prev, current_k])
+        welford = ppo_mod.welford_update(welford, base)
+        norm = ppo_mod.welford_normalize(welford, base)
+        history = jnp.concatenate([history[1:], norm[None]], axis=0)
+        mean, _, _ = policy_model.apply(policy_params, history.reshape(-1))
+        k_new = ppo_mod.apply_param_action(current_k, mean, act_cfg)
+        current_k = jnp.where((k % param_update_every) == 0, k_new,
+                              current_k)
+        cc, u, _ = ctlr.solve(cc, obs, target8, current_k)
+        return (cc, current_k, welford, history, u, k + 1), -u
+
+    def init_carry(rng=None):
+        d = jnp.float64
+        init_k = jax.random.uniform(
+            rng if rng is not None else jax.random.PRNGKey(0),
+            (trainer.N_PARAMS,), d, minval=act_cfg.min_k,
+            maxval=act_cfg.k_max / 2)
+        return (ctlr.init_carry(d), init_k,
+                ppo_mod.welford_init(trainer.BASE_OBS_DIM, d),
+                jnp.zeros((trainer.HISTORY_LEN, trainer.BASE_OBS_DIM), d),
+                jnp.zeros(2, d), jnp.zeros((), jnp.int32))
+
+    return solve, init_carry(), observe8
+
+
 def rmpc_solve_fn(N: int = 20, dt: float = 0.002, max_iters: int = 10,
                   state0=None):
     """RMPC adapter: RLS + governor + staged ref inside `RMPC.solve`,

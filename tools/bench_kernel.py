@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--chain", type=int, default=3,
                     help="chained dispatches (outputs feed inputs)")
     ap.add_argument("--n", type=int, default=0, help="horizon (0 = default)")
+    ap.add_argument("--iters", type=int, default=2, help="kernel iterations")
+    ap.add_argument("--alphas", type=int, default=3)
+    ap.add_argument("--al_rounds", type=int, default=2, help="rmpc only")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +62,8 @@ def main():
             """z (6, Bt) -> per-lane signature (Bt,)."""
             V, cost, _ = rmpc_solve_pallas(
                 theta, ref, w, z, jnp.zeros((N, 2, Bt), jnp.float32),
-                dt=0.02, n_iters=2, n_alphas=3, al_rounds=2)
+                dt=0.02, n_iters=args.iters, n_alphas=args.alphas,
+                al_rounds=args.al_rounds)
             return jnp.sum(V, axis=(0, 1)) + cost
 
         def perturb(z, sig):
@@ -83,7 +87,7 @@ def main():
             V, cost = lmpc_solve_pallas(
                 pvec, Q, Rw, Q, targ, z,
                 jnp.zeros((N, 2, Bt), jnp.float32),
-                dt=0.002, n_iters=2, n_alphas=3)
+                dt=0.002, n_iters=args.iters, n_alphas=args.alphas)
             return jnp.sum(V, axis=(0, 1)) + cost
 
         def perturb(z, sig):
@@ -106,7 +110,7 @@ def main():
             """z (Bt, 6) -> per-lane signature (Bt,)."""
             V, cost = pmpc_fast.solve_batch_kernel(
                 mus, aux, z, jnp.zeros((Bt, N, 2), jnp.float32),
-                dt=0.002, n_iters=2, n_alphas=3)
+                dt=0.002, n_iters=args.iters, n_alphas=args.alphas)
             return jnp.sum(V, axis=(1, 2)) + cost
 
         def perturb(z, sig):
@@ -146,6 +150,7 @@ def main():
     slope = (walls[4 * R] - walls[R]) / (3 * R)
     print(json.dumps({
         "kernel": args.kernel, "batch": Bt, "N": N, "reps": [R, 4 * R],
+        "budget": f"{args.iters}it x {args.alphas}a" + (f" x {args.al_rounds}al" if args.kernel == "rmpc" else ""),
         "compile_s": round(sum(compile_s.values()), 1),
         "wall_s": {str(k): round(v, 4) for k, v in walls.items()},
         "ms_per_batch_solve": round(slope * 1e3, 4),

@@ -34,7 +34,13 @@ TARGET = (0.10, 0.05)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--controller", choices=["pmpc", "rmpc"], default="pmpc")
+    ap.add_argument("--controller", choices=["pmpc", "rmpc", "lmpc"],
+                    default="pmpc")
+    ap.add_argument("--checkpoint_dir", default="artifacts/lmpc/fullstack",
+                    help="lmpc only: trained 34-param tuner policy")
+    ap.add_argument("--mpc_horizon", type=int, default=8,
+                    help="lmpc only: must match the checkpoint's training "
+                         "horizon")
     ap.add_argument("--runtime", type=float, default=None,
                     help="sim seconds cap per episode (default 10 pmpc / "
                          "30 rmpc; reference quotes 10-30 s convergence)")
@@ -48,6 +54,26 @@ def main():
     n_steps = int(runtime / 0.002)
     ctrl_dt = 0.002 * args.control_every
 
+    policy = None
+    if args.controller == "lmpc":
+        import jax.numpy as jnp
+
+        from dart_tpu.adapt import lmpc_trainer as trainer
+        from dart_tpu.adapt import ppo as ppo_mod
+        from dart_tpu.io import checkpoint as ckpt
+        import numpy as _np
+
+        net = ppo_mod.ActorCritic(act_dim=trainer.N_PARAMS)
+        tx = ppo_mod.make_optimizer(ppo_mod.PPOConfig())
+        ts = trainer.init_train_state(jax.random.PRNGKey(0), net, tx)
+        restored = ckpt.load_agent(
+            args.checkpoint_dir, "best_agent",
+            template={"params": ts.params, "opt_state": ts.opt_state,
+                      "episode": _np.asarray(0), "return": _np.asarray(0.0)})
+        assert restored is not None, args.checkpoint_dir
+        policy = (jax.tree.map(lambda x: jnp.asarray(x, jnp.float64),
+                               restored["params"]), net)
+
     torque_fn = MB.make_torque_fn(dt=0.002)
     rows = []
     t_all = time.time()
@@ -58,6 +84,9 @@ def main():
                 if args.controller == "pmpc":
                     solve, carry, obs = MB.pmpc_solve_fn(shape=shape, mu=mu,
                                                          dt=ctrl_dt)
+                elif args.controller == "lmpc":
+                    solve, carry, obs = MB.lmpc_solve_fn(
+                        policy[0], policy[1], N=args.mpc_horizon, dt=ctrl_dt)
                 else:
                     idx = MB.index_world(model)
                     solve, carry, obs = MB.rmpc_solve_fn(
