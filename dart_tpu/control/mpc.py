@@ -109,7 +109,8 @@ class PMPCBatch:
                  use_kernel: bool = True, kernel_iters: int = 2,
                  kernel_alphas: int = 3, kernel_tol_grad: float = 5e-3,
                  kernel_max_extra_rounds: int = 2,
-                 g: float = float(dyn.GRAVITY_Z)):
+                 g: float = float(dyn.GRAVITY_Z),
+                 kernel_interpret: bool = False):
         self.N, self.dt, self.u_bound = N, dt, u_bound
         self.ocp = make_pmpc_ocp(dt=dt, u_bound=u_bound)
         self.cfg = cfg
@@ -131,6 +132,9 @@ class PMPCBatch:
         self.kernel_tol_grad = kernel_tol_grad
         self.kernel_max_extra_rounds = kernel_max_extra_rounds
         self.g = g
+        # Testing knob: run the whole-solve kernel in Pallas interpreter
+        # mode on CPU so CI exercises the real escalation code path.
+        self.kernel_interpret = kernel_interpret
 
     def init_carry(self, B: int, dtype=jnp.float32) -> PMPCCarry:
         return PMPCCarry(V=jnp.zeros((B, self.N, 2), dtype))
@@ -145,7 +149,8 @@ class PMPCBatch:
         aux = PMPCAux(target=targets, Qp=bc(weights.Qp), Qv=bc(weights.Qv),
                       R=bc(weights.R))
         kernel_ok = (self.use_kernel and self.fast and B % 128 == 0
-                     and jax.default_backend() == "tpu")
+                     and (jax.default_backend() == "tpu"
+                          or self.kernel_interpret))
         if kernel_ok:
             from dart_tpu.solver import pmpc_fast
             ocp_params = dyn.PMPCParams(mu=bc(params.mu), g=self.g,
@@ -155,7 +160,8 @@ class PMPCBatch:
                 return pmpc_fast.solve_batch_kernel(
                     bc(params.mu), aux, states, V, dt=self.dt,
                     u_bound=self.u_bound, n_iters=self.kernel_iters,
-                    n_alphas=self.kernel_alphas, g=self.g)
+                    n_alphas=self.kernel_alphas, g=self.g,
+                    interpret=self.kernel_interpret)
 
             def pg(V):
                 return ilqr.projected_grad_norm(self.ocp, ocp_params, aux,

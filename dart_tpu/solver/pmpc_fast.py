@@ -87,11 +87,12 @@ def _dcdu(u, g, dt):
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "u_bound", "n_iters",
-                                             "n_alphas", "g"))
+                                             "n_alphas", "g", "interpret"))
 def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
                        V_init: jnp.ndarray, dt: float = 0.002,
                        u_bound: float = 0.6, n_iters: int = 2,
-                       n_alphas: int = 3, g: float = dyn.GRAVITY_Z):
+                       n_alphas: int = 3, g: float = dyn.GRAVITY_Z,
+                       interpret: bool = False):
     """Whole-solve Pallas kernel path (batch-first API).
 
     The entire box-DDP solve runs inside ONE Pallas kernel per 128-lane tile
@@ -111,7 +112,8 @@ def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
     V, cost = pmpc_solve_pallas(
         tl(Ad), tl(Sd), tl(wdiag), aux.R.astype(dtype), tl(aux.target),
         tl(z0), tl(V_init), dt=dt, u_bound=u_bound,
-        g=float(g), n_iters=n_iters, n_alphas=n_alphas)
+        g=float(g), n_iters=n_iters, n_alphas=n_alphas,
+        interpret=interpret)
     return jnp.moveaxis(V, -1, 0), cost
 
 

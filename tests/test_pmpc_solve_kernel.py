@@ -42,3 +42,43 @@ def test_whole_solve_kernel_matches_fast_solver():
     d = np.abs(np.asarray(V_p[:, 0] - V_ref[:, 0]))
     assert np.percentile(d, 99) < 5e-3, np.percentile(d, 99)
     assert np.all(np.abs(np.asarray(V_p)) <= 0.6 + 1e-6)
+
+
+def test_kernel_escalation_recovers_starved_budget():
+    """The anti-silent-divergence loop (PMPCBatch kernel path, interpreter
+    mode): a deliberately starved 1-iter x 1-alpha budget leaves lanes
+    non-stationary (large projected-grad norm in the diag — visible, the r1
+    failure mode was a zeroed diag); with escalation enabled the same batch
+    converges via warm kernel re-solves and the diag records the rounds."""
+    import jax
+
+    from dart_tpu.control import mpc as mpc_mod
+    from dart_tpu.models import dynamics as dyn
+
+    B, N = 128, 8
+    rng = np.random.default_rng(1)
+    states = jnp.asarray(rng.normal(size=(B, 6)) * 0.05, jnp.float32)
+    z = np.zeros(B)
+    tgts = jnp.asarray(np.stack([rng.uniform(-0.12, 0.12, B), z,
+                                 rng.uniform(-0.12, 0.12, B), z,
+                                 np.full(B, 0.43), z], -1), jnp.float32)
+    params = dyn.PMPCParams(mu=jnp.asarray(0.1), dt=0.01)
+    w = mpc_mod.PMPC_WEIGHTS["general"]
+
+    diag = {}
+    for extra in (0, 3):
+        ctlr = mpc_mod.PMPCBatch(N=N, dt=0.01, kernel_iters=1,
+                                 kernel_alphas=1,
+                                 kernel_max_extra_rounds=extra,
+                                 kernel_interpret=True)
+        carry = ctlr.init_carry(B, jnp.float32)
+        _, _, d = jax.jit(
+            lambda c: ctlr.solve(c, states, tgts, params, w))(carry)
+        diag[extra] = d
+
+    g0 = float(jnp.max(diag[0].grad_norm))
+    g3 = float(jnp.max(diag[3].grad_norm))
+    assert g0 > 0.05, g0                    # starved: visibly non-stationary
+    assert g3 < ctlr.kernel_tol_grad, g3    # escalation recovers
+    assert int(diag[3].iters[0]) > int(diag[0].iters[0])
+    assert float(jnp.mean(diag[3].cost)) <= float(jnp.mean(diag[0].cost))
