@@ -161,6 +161,31 @@ def main():
 
     extra = {}
     if kernel:
+        # Adaptive production tier: the PMPCBatch front-end as shipped —
+        # warm 2x3 kernel budget + per-lane projected-gradient diagnostics
+        # + self-escalation (warm kernel re-solves while any lane exceeds
+        # tolerance). This is what the evaluators actually run.
+        try:
+            from dart_tpu.control import mpc as mpc_mod
+            ctlr = mpc_mod.PMPCBatch(N=N, dt=DT)
+            wts = mpc_mod.PMPCWeights(jnp.asarray(300.0), jnp.asarray(2.0),
+                                      jnp.asarray(0.2))
+            prm = dyn.PMPCParams(mu=mus, dt=DT)
+
+            def adaptive_solver(x, V):
+                c, _, _ = ctlr.solve(mpc_mod.PMPCCarry(V=V), x, targets,
+                                     prm, wts)
+                # carry.V is the shifted plan; un-shift not needed for the
+                # bench loop (same receding-horizon semantics as the rest)
+                return c.V
+
+            extra["value_adaptive"] = round(
+                float(slope_rate(adaptive_solver)), 1)
+            extra["adaptive_budget"] = ("kernel 2x3 + self-escalation "
+                                        "(tol 5e-3, <=2 extra rounds)")
+        except Exception as e:
+            extra["value_adaptive_error"] = str(e)[:120]
+
         # Converged-budget tier (6 iters x 4 alphas) + stationarity cert.
         try:
             conv_rate = slope_rate(kernel_solver_conv)

@@ -20,7 +20,15 @@ import numpy as np
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (env vars are too late here); pair with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    args = ap.parse_args()
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from dart_tpu.io import scenes
