@@ -87,9 +87,9 @@ def main():
 
     def make_kernel_solver(n_iters, n_alphas):
         def solver(x, V):
-            Vs, _ = pmpc_fast.solve_batch_kernel(mus, aux, x, V, dt=DT,
-                                                 n_iters=n_iters,
-                                                 n_alphas=n_alphas)
+            Vs, _, _ = pmpc_fast.solve_batch_kernel(mus, aux, x, V, dt=DT,
+                                                    n_iters=n_iters,
+                                                    n_alphas=n_alphas)
             return Vs
 
         return solver
@@ -190,8 +190,8 @@ def main():
         try:
             conv_rate = slope_rate(kernel_solver_conv)
             xf, Vf, _ = make_loop(kernel_solver_conv, T)(x0, carry0)
-            Vs, _ = pmpc_fast.solve_batch_kernel(mus, aux, xf, Vf, dt=DT,
-                                                 n_iters=6, n_alphas=4)
+            Vs, _, pgs_k = pmpc_fast.solve_batch_kernel(
+                mus, aux, xf, Vf, dt=DT, n_iters=6, n_alphas=4)
             from dart_tpu.solver.ocp import make_pmpc_ocp
             from dart_tpu.solver import ilqr
             ocp = make_pmpc_ocp(dt=DT, u_bound=0.6)

@@ -153,22 +153,18 @@ class PMPCBatch:
                           or self.kernel_interpret))
         if kernel_ok:
             from dart_tpu.solver import pmpc_fast
-            ocp_params = dyn.PMPCParams(mu=bc(params.mu), g=self.g,
-                                        dt=self.dt)
 
             def one_round(V):
+                # kernel emits the per-lane max|feedforward| of its last
+                # iteration (the XLA path's grad_norm) — diagnostics are
+                # free, no XLA-side vjp needed.
                 return pmpc_fast.solve_batch_kernel(
                     bc(params.mu), aux, states, V, dt=self.dt,
                     u_bound=self.u_bound, n_iters=self.kernel_iters,
                     n_alphas=self.kernel_alphas, g=self.g,
                     interpret=self.kernel_interpret)
 
-            def pg(V):
-                return ilqr.projected_grad_norm(self.ocp, ocp_params, aux,
-                                                states, V)
-
-            V, cost = one_round(carry.V)
-            gnorm = pg(V)
+            V, cost, gnorm = one_round(carry.V)
 
             # Escalation: warm kernel re-solves while any lane is
             # non-stationary (the fixed 2-iter budget's failure mode).
@@ -179,8 +175,8 @@ class PMPCBatch:
 
             def esc_body(c):
                 V, _, _, r = c
-                V2, cost2 = one_round(V)
-                return V2, cost2, pg(V2), r + 1
+                V2, cost2, gn2 = one_round(V)
+                return V2, cost2, gn2, r + 1
 
             V, cost, gnorm, rounds = jax.lax.while_loop(
                 esc_cond, esc_body,
@@ -376,7 +372,7 @@ class RMPCBatch(RMPC):
             wk = jnp.stack([w.Qp, w.Qv, w.Ru, w.Rdu])
 
             def one_round(V):
-                Vn, cost, viol = rmpc_solve_pallas(
+                Vn, cost, viol, gn = rmpc_solve_pallas(
                     tl(theta), tl(refs), wk, tl(z0), jnp.moveaxis(V, 0, -1),
                     dt=self.dt,
                     u_bound=self.u_bound, du_bound=self.du_bound,
@@ -385,32 +381,22 @@ class RMPCBatch(RMPC):
                     al_rounds=self.kernel_al_rounds,
                     mu_init=self.cfg.mu_init, mu_scale=self.cfg.mu_scale,
                     mu_max=self.cfg.mu_max, tol_con=self.cfg.tol_con)
-                return jnp.moveaxis(Vn, -1, 0), cost, viol
+                return jnp.moveaxis(Vn, -1, 0), cost, viol, gn
 
-            def pg(V):
-                return ilqr.projected_grad_norm(self.ocp, params, aux, z0, V)
-
-            def needs_help(V, viol, gnorm):
-                # Raw projected gradient is only a stationarity test where
-                # the velocity-cap constraints are strictly inactive; on
-                # active/violated lanes feasibility is the criterion.
-                cmax = ilqr.constraint_max(self.ocp, params, aux, z0, V)
-                inactive = cmax < -1e-3
-                return (viol > self.cfg.tol_con) | \
-                    (inactive & (gnorm > self.kernel_tol_grad))
-
-            V, cost, viol = one_round(carry.V)
-            gnorm = pg(V)
+            # the kernel's gnorm is the AL-merit feedforward norm, valid at
+            # active constraints too (no inactivity gating needed); lanes
+            # need help when non-stationary OR infeasible.
+            V, cost, viol, gnorm = one_round(carry.V)
 
             def esc_cond(c):
-                V, _, vl, gn, r = c
-                return (r < self.kernel_max_extra_rounds) & \
-                    jnp.any(needs_help(V, vl, gn))
+                _, _, vl, gn, r = c
+                return (r < self.kernel_max_extra_rounds) & jnp.any(
+                    (vl > self.cfg.tol_con) | (gn > self.kernel_tol_grad))
 
             def esc_body(c):
                 V, _, _, _, r = c
-                V2, cost2, viol2 = one_round(V)
-                return V2, cost2, viol2, pg(V2), r + 1
+                V2, cost2, viol2, gn2 = one_round(V)
+                return V2, cost2, viol2, gn2, r + 1
 
             V, cost, viol, gnorm, rounds = jax.lax.while_loop(
                 esc_cond, esc_body,
@@ -552,18 +538,15 @@ class LMPCBatch(LMPC):
             tl = lambda x: jnp.moveaxis(x, 0, -1)
 
             def one_round(V):
-                Vn, cost = lmpc_solve_pallas(
+                # kernel-emitted max|feedforward| = free convergence diag
+                Vn, cost, gn = lmpc_solve_pallas(
                     tl(pvecs), tl(w.Q), tl(w.R), tl(w.Qt), tl(targets),
                     tl(z0), jnp.moveaxis(V, 0, -1), dt=self.dt,
                     u_bound=self.u_bound,
                     n_iters=self.kernel_iters, n_alphas=self.kernel_alphas)
-                return jnp.moveaxis(Vn, -1, 0), cost
+                return jnp.moveaxis(Vn, -1, 0), cost, gn
 
-            def pg(V):
-                return ilqr.projected_grad_norm(self.ocp, pvecs, aux, z0, V)
-
-            V, cost = one_round(carry.V)
-            gnorm = pg(V)
+            V, cost, gnorm = one_round(carry.V)
 
             def esc_cond(c):
                 _, _, gn, r = c
@@ -572,8 +555,8 @@ class LMPCBatch(LMPC):
 
             def esc_body(c):
                 V, _, _, r = c
-                V2, cost2 = one_round(V)
-                return V2, cost2, pg(V2), r + 1
+                V2, cost2, gn2 = one_round(V)
+                return V2, cost2, gn2, r + 1
 
             V, cost, gnorm, rounds = jax.lax.while_loop(
                 esc_cond, esc_body,

@@ -57,7 +57,7 @@ _G = 9.81   # positive, hard-coded like the reference (`rlmpc2.py:342`)
 
 def _lmpc_kernel(N, n_iters, n_alphas, dt,
                  p_ref, Q_ref, R_ref, Qt_ref, t_ref, z0_ref, V0_ref,
-                 lo_ref, hi_ref, V_out, cost_out):
+                 lo_ref, hi_ref, V_out, cost_out, gnorm_out):
     praw = p_ref[...]           # (34, L)
     Q = Q_ref[...]              # (8, L)
     Rfull = R_ref[...]          # (4, L)
@@ -202,7 +202,7 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
     alphas = [0.6 ** i for i in range(n_alphas)]
 
     def iteration(carry):
-        X, V, cost, done = carry
+        X, V, cost, done, _ = carry
         # u_prev trajectory is implied by V: UP[0]=up0, UP[k]=V[k-1].
         UP = [up0] + [V[k] for k in range(N - 1)]
 
@@ -213,7 +213,7 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
         P = 2.0 * _diag_embed(Qt)               # (8, 8, L)
         q = jnp.stack([jnp.stack([jnp.zeros_like(eT[0])] * 2)] * 8)
         r = jnp.stack([jnp.stack([jnp.zeros_like(eT[0])] * 2)] * 2)
-        Ds, K1s, K2s = [], [], []
+        Ds, K1s, K2s, gns = [], [], [], []
         for k in range(N - 1, -1, -1):
             x = X[k]
             v_k = V[k]
@@ -241,6 +241,7 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
             lo = u_lo - v_k
             hi = u_hi - v_k
             d, free = _boxqp2_lanes(Quu, Qu, lo, hi)
+            gns.append(jnp.maximum(jnp.abs(d[0]), jnp.abs(d[1])))
 
             cols = _gains_lanes(
                 Quu, free,
@@ -303,15 +304,21 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
 
         rel = (cost - c_best) / (jnp.abs(cost) + 1.0)
         done_n = done | (accepted & (rel < 1e-9)) | (~accepted)
-        return (X_best, V_best, c_best, done_n)
+        gnorm = gns[0]
+        for g_k in gns[1:]:
+            gnorm = jnp.maximum(gnorm, g_k)
+        return (X_best, V_best, c_best, done_n, gnorm)
 
     done = jnp.zeros_like(cost, dtype=jnp.bool_)
-    carry = (X, V, cost, done)
+    carry = (X, V, cost, done, jnp.zeros_like(cost))
     for _ in range(n_iters):
         carry = iteration(carry)
-    _, V, cost, _ = carry
+    _, V, cost, _, gnorm = carry
     V_out[...] = V
     cost_out[...] = cost[None]
+    # max |feedforward| of the LAST iteration — free in-kernel convergence
+    # diagnostic (the XLA path's grad_norm).
+    gnorm_out[...] = gnorm[None]
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "n_alphas", "dt",
@@ -321,7 +328,7 @@ def lmpc_solve_pallas(pvec, Q, R, Qt, target, z0, V0,
                       n_iters: int = 2, n_alphas: int = 3,
                       interpret: bool = False):
     """Batch-last layout: pvec (34,Bt), Q/Qt/target (8,Bt), R (4,Bt),
-    z0 (10,Bt), V0 (N,2,Bt), Bt % 128 == 0. Returns (V (N,2,Bt), cost (Bt,))."""
+    z0 (10,Bt), V0 (N,2,Bt), Bt % 128 == 0. Returns (V, cost, gnorm)."""
     N = V0.shape[0]
     Bt = V0.shape[-1]
     assert Bt % LANES == 0
@@ -347,17 +354,18 @@ def lmpc_solve_pallas(pvec, Q, R, Qt, target, z0, V0,
         block = tuple(list(shape[:-1]) + [S, LANES])
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
-    V, cost = pl.pallas_call(
+    V, cost, gnorm = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[spec((34, Bt)), spec((8, Bt)), spec((4, Bt)),
                   spec((8, Bt)), spec((8, Bt)), spec((10, Bt)),
                   spec((N, 2, Bt)), spec((2, Bt)), spec((2, Bt))],
-        out_specs=[spec((N, 2, Bt)), spec((1, Bt))],
+        out_specs=[spec((N, 2, Bt)), spec((1, Bt)), spec((1, Bt))],
         out_shape=[jax.ShapeDtypeStruct((N, 2, G * S, LANES), dtype),
+                   jax.ShapeDtypeStruct((1, G * S, LANES), dtype),
                    jax.ShapeDtypeStruct((1, G * S, LANES), dtype)],
         interpret=interpret,
     )(fold(pvec.astype(dtype)), fold(Q.astype(dtype)), fold(R.astype(dtype)),
       fold(Qt.astype(dtype)), fold(target.astype(dtype)),
       fold(z0.astype(dtype)), fold(V0), fold(lo), fold(hi))
-    return V.reshape(N, 2, Bt), cost.reshape(Bt)
+    return V.reshape(N, 2, Bt), cost.reshape(Bt), gnorm.reshape(Bt)

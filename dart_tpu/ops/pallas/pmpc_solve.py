@@ -15,7 +15,9 @@ Inputs per tile (batch on lanes, L = 128):
   target (6, L)
   z0     (6, L)
   V0     (N, 2, L)     warm start
-Outputs: V (N, 2, L), cost (1, L).
+Outputs: V (N, 2, L), cost (1, L), gnorm (1, L) — max |feedforward| of
+the last iteration (the XLA path's grad_norm diagnostic, emitted in-kernel
+so convergence certification is free).
 
 The iteration count and line-search schedule are static; converged lanes
 are frozen by masks (compute proceeds, results are held).
@@ -61,7 +63,7 @@ def _bmat(Sd, v, g, dt):
 
 def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
                  Ad_ref, Sd_ref, w_ref, r_ref, t_ref, z0_ref, V0_ref,
-                 lo_ref, hi_ref, V_out, cost_out):
+                 lo_ref, hi_ref, V_out, cost_out, gnorm_out):
     Ad = Ad_ref[...]
     Sd = Sd_ref[...]
     wdiag = w_ref[...]          # (6, L)
@@ -90,12 +92,12 @@ def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
     alphas = [0.6 ** i for i in range(n_alphas)]
 
     def iteration(carry):
-        Z, V, cost, done = carry
+        Z, V, cost, done, _ = carry
         # ---- backward (fused; reg-free: Quu is PD for this problem) ----
         eT = Z[N] - target
         Vx = 2.0 * wdiag * eT
         Vxx = 2.0 * _diag_embed(wdiag)
-        Ds, Ks = [], []
+        Ds, Ks, gns = [], [], []
         for k in range(N - 1, -1, -1):
             v_k = V[k]
             B = _bmat(Sd, v_k, g, dt)            # (6, 2, L)
@@ -111,6 +113,7 @@ def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
             lo = u_lo - v_k
             hi = u_hi - v_k
             d, free = _boxqp2_lanes(Quu, Qu, lo, hi)
+            gn_k = jnp.maximum(jnp.abs(d[0]), jnp.abs(d[1]))
             f0, f1 = free[0], free[1]
             h00 = Quu[0, 0] * f0 * f0 + (1.0 - f0)
             h01 = Quu[0, 1] * f0 * f1
@@ -131,8 +134,12 @@ def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
             Vxx = 0.5 * (Vxx + _mT(Vxx))
             Ds.append(d)
             Ks.append(K)
+            gns.append(gn_k)
         Ds = Ds[::-1]
         Ks = Ks[::-1]
+        gnorm = gns[0]
+        for gn_k in gns[1:]:
+            gnorm = jnp.maximum(gnorm, gn_k)
 
         # ---- forward line search with per-lane acceptance ----
         accepted = done                     # done lanes never move
@@ -164,15 +171,18 @@ def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
 
         rel = (cost - c_best) / (jnp.abs(cost) + 1.0)
         done_n = done | (accepted & (rel < 1e-9)) | (~accepted)
-        return (Z_best, V_best, c_best, done_n)
+        return (Z_best, V_best, c_best, done_n, gnorm)
 
     done = jnp.zeros_like(rw, dtype=jnp.bool_)
-    carry = (Z, V, cost, done)
+    carry = (Z, V, cost, done, jnp.zeros_like(rw))
     for _ in range(n_iters):
         carry = iteration(carry)
-    Z, V, cost, done = carry
+    Z, V, cost, done, gnorm = carry
     V_out[...] = V
     cost_out[...] = cost[None]
+    # max |feedforward| of the LAST iteration's backward pass — the same
+    # per-lane stationarity diagnostic the XLA path reports (grad_norm).
+    gnorm_out[...] = gnorm[None]
 
 
 def _diag_embed(w):
@@ -192,7 +202,7 @@ def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
                       n_iters: int = 3, n_alphas: int = 4,
                       interpret: bool = False):
     """Batch-last layout: Ad/Sd (6,6,Bt), wdiag/target/z0 (6,Bt), rw (Bt,),
-    V0 (N,2,Bt), Bt % 128 == 0. Returns (V (N,2,Bt), cost (Bt,))."""
+    V0 (N,2,Bt), Bt % 128 == 0. Returns (V, cost (Bt,), gnorm (Bt,))."""
     N = V0.shape[0]
     Bt = V0.shape[-1]
     assert Bt % LANES == 0
@@ -219,15 +229,16 @@ def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
         block = tuple(list(shape[:-1]) + [S, LANES])
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
-    V, cost = pl.pallas_call(
+    V, cost, gnorm = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[spec((6, 6, Bt)), spec((6, 6, Bt)), spec((6, Bt)),
                   spec((1, Bt)), spec((6, Bt)), spec((6, Bt)),
                   spec((N, 2, Bt)), spec((2, Bt)), spec((2, Bt))],
-        out_specs=[spec((N, 2, Bt)), spec((1, Bt))],
+        out_specs=[spec((N, 2, Bt)), spec((1, Bt)), spec((1, Bt))],
         out_shape=[jax.ShapeDtypeStruct((N, 2, G * S, LANES), dtype),
+                   jax.ShapeDtypeStruct((1, G * S, LANES), dtype),
                    jax.ShapeDtypeStruct((1, G * S, LANES), dtype)],
         interpret=interpret,
     )(*map(fold, (Ad, Sd, wdiag, rw2, target, z0, V0, lo, hi)))
-    return V.reshape(N, 2, Bt), cost.reshape(Bt)
+    return V.reshape(N, 2, Bt), cost.reshape(Bt), gnorm.reshape(Bt)

@@ -57,7 +57,7 @@ _G = -9.81   # signed, like model.opt.gravity[2] (`rob_ctrl.py:281`)
 def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
                  mu_init, mu_scale, mu_max, tol_con,
                  th_ref, ref_ref, w_ref, z0_ref, V0_ref,
-                 V_out, cost_out, viol_out):
+                 V_out, cost_out, viol_out, gnorm_out):
     th = th_ref[...]            # (14, L)
     ref = ref_ref[...]          # (N+1, 4, L)
     wv = w_ref[...]             # (4, L)
@@ -139,7 +139,7 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
     alphas = [0.6 ** i for i in range(n_alphas)]
 
     def iteration(carry, lam, mu):
-        X, U, V, cost, done = carry
+        X, U, V, cost, done, _ = carry
 
         # ---- backward: partitioned Riccati over z = [x(4), u_prev(2)] ----
         eT = X[N] - ref[N]
@@ -149,7 +149,7 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
         P = _add_diag_vec(jnp.stack([jnp.stack([zl] * 4)] * 4), 2.0 * w4)
         q = jnp.stack([jnp.stack([zl] * 2)] * 4)    # (4, 2, L)
         r = jnp.stack([jnp.stack([zl] * 2)] * 2)    # (2, 2, L)
-        Ds, K1s, K2s = [], [], []
+        Ds, K1s, K2s, gns = [], [], [], []
         for k in range(N - 1, -1, -1):
             x = X[k]
             up = U[k]
@@ -198,6 +198,7 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
             lo = -du_b - v_k
             hi = du_b - v_k
             d, free = _boxqp2_lanes(Qvv, Qvl, lo, hi)
+            gns.append(jnp.maximum(jnp.abs(d[0]), jnp.abs(d[1])))
             cols = _gains_lanes(
                 Qvv, free,
                 [(Qvz1[0, j], Qvz1[1, j]) for j in range(4)]
@@ -263,7 +264,10 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
 
         rel = (cost - c_best) / (jnp.abs(cost) + 1.0)
         done_n = done | (accepted & (rel < 1e-9)) | (~accepted)
-        return (X_best, U_best, V_best, c_best, done_n)
+        gnorm = gns[0]
+        for g_k in gns[1:]:
+            gnorm = jnp.maximum(gnorm, g_k)
+        return (X_best, U_best, V_best, c_best, done_n, gnorm)
 
     # ---- augmented-Lagrangian outer loop (per-lane lam/mu in VMEM) ----
     lam = jnp.stack([jnp.stack([jnp.zeros_like(Qp)] * 4)] * N)  # (N, 4, L)
@@ -272,10 +276,10 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
     for _ in range(al_rounds):
         X, U, cost = rollout_cost(V, lam, mu)
         done = jnp.zeros_like(cost, dtype=jnp.bool_)
-        carry = (X, U, V, cost, done)
+        carry = (X, U, V, cost, done, jnp.zeros_like(cost))
         for _ in range(n_iters):
             carry = iteration(carry, lam, mu)
-        X, U, V, cost, _ = carry
+        X, U, V, cost, _, gnorm = carry
         # PHR multiplier update on the round's final trajectory
         # (`ilqr.solve_batch` al_round; constraints at stages 0..N-1).
         viol = jnp.zeros_like(Qp)
@@ -305,6 +309,10 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
     V_out[...] = V
     cost_out[...] = raw[None]
     viol_out[...] = viol[None]
+    # max |feedforward| of the last AL round's last iteration — free
+    # in-kernel stationarity diagnostic (the AL-merit analogue of the XLA
+    # path's grad_norm).
+    gnorm_out[...] = gnorm[None]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -319,7 +327,7 @@ def rmpc_solve_pallas(theta, ref, w, z0, V0, dt: float,
                       tol_con: float = 1e-8, interpret: bool = False):
     """Batch-last layout: theta (14,Bt), ref (N+1,4,Bt), w (4,Bt) =
     [Qp,Qv,Ru,Rdu], z0 (6,Bt), V0 (N,2,Bt), Bt % 128 == 0.
-    Returns (V (N,2,Bt) du sequence, cost (Bt,), viol (Bt,))."""
+    Returns (V (N,2,Bt) du sequence, cost, viol, gnorm (Bt,) each)."""
     N = V0.shape[0]
     Bt = V0.shape[-1]
     assert Bt % LANES == 0
@@ -346,17 +354,19 @@ def rmpc_solve_pallas(theta, ref, w, z0, V0, dt: float,
         block = tuple(list(shape[:-1]) + [S, LANES])
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
 
-    V, cost, viol = pl.pallas_call(
+    V, cost, viol, gnorm = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[spec((14, Bt)), spec((N + 1, 4, Bt)), spec((4, Bt)),
                   spec((6, Bt)), spec((N, 2, Bt))],
-        out_specs=[spec((N, 2, Bt)), spec((1, Bt)), spec((1, Bt))],
+        out_specs=[spec((N, 2, Bt)), spec((1, Bt)), spec((1, Bt)),
+                   spec((1, Bt))],
         out_shape=[jax.ShapeDtypeStruct((N, 2, G * S, LANES), dtype),
+                   jax.ShapeDtypeStruct((1, G * S, LANES), dtype),
                    jax.ShapeDtypeStruct((1, G * S, LANES), dtype),
                    jax.ShapeDtypeStruct((1, G * S, LANES), dtype)],
         interpret=interpret,
     )(fold(theta.astype(dtype)), fold(ref.astype(dtype)),
       fold(w.astype(dtype)), fold(z0.astype(dtype)), fold(V0))
     V = V.reshape(N, 2, Bt)
-    return V, cost.reshape(Bt), viol.reshape(Bt)
+    return V, cost.reshape(Bt), viol.reshape(Bt), gnorm.reshape(Bt)

@@ -99,7 +99,8 @@ def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
     (`ops.pallas.pmpc_solve`): ~3M warm solves/s/chip in closed loop at
     B=4096 on v5e. Requires TPU and B % 128 == 0; fixed iteration budget
     (2 iterations suffice warm — quality identical, see PERFORMANCE.md).
-    Returns (V (B,N,2), cost (B,)).
+    Returns (V (B,N,2), cost (B,), gnorm (B,) — in-kernel max
+    |feedforward| of the last iteration, the convergence diagnostic).
     """
     from dart_tpu.ops.pallas.pmpc_solve import pmpc_solve_pallas
 
@@ -109,12 +110,12 @@ def solve_batch_kernel(mu: jnp.ndarray, aux: PMPCAux, z0: jnp.ndarray,
     wdiag = (aux.Qp[:, None] * jnp.asarray([1, 0, 1, 0, 0, 0], dtype) +
              aux.Qv[:, None] * jnp.asarray([0, 1, 0, 1, 0, 0], dtype))
     tl = lambda x: jnp.moveaxis(x, 0, -1)
-    V, cost = pmpc_solve_pallas(
+    V, cost, gnorm = pmpc_solve_pallas(
         tl(Ad), tl(Sd), tl(wdiag), aux.R.astype(dtype), tl(aux.target),
         tl(z0), tl(V_init), dt=dt, u_bound=u_bound,
         g=float(g), n_iters=n_iters, n_alphas=n_alphas,
         interpret=interpret)
-    return jnp.moveaxis(V, -1, 0), cost
+    return jnp.moveaxis(V, -1, 0), cost, gnorm
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "u_bound", "max_iters",

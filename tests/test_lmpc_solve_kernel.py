@@ -33,7 +33,7 @@ def test_whole_solve_kernel_matches_generic_solver():
     sol = ilqr.solve_batch(ocp, cfg, pvecs, aux, z0, V0, use_pallas=False)
 
     tl = lambda x: jnp.moveaxis(jnp.asarray(x), 0, -1)
-    V_p, cost_p = lmpc_solve_pallas(
+    V_p, cost_p, gnorm_p = lmpc_solve_pallas(
         tl(pvecs), tl(aux.Q), tl(aux.R), tl(aux.Qt), tl(tgts), tl(z0),
         tl(V0), dt=DT, u_bound=U_BOUND, n_iters=2, n_alphas=3,
         interpret=True)

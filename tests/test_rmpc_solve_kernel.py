@@ -43,7 +43,7 @@ def test_whole_solve_kernel_matches_generic_al_solver():
 
     tl = lambda x: jnp.moveaxis(jnp.asarray(x), 0, -1)
     w = jnp.stack([bc(Qp), bc(Qv), bc(Ru), bc(Rdu)])           # (4, B)
-    V_p, cost_p, viol_p = rmpc_solve_pallas(
+    V_p, cost_p, viol_p, gnorm_p = rmpc_solve_pallas(
         tl(thetas), tl(refs), w, tl(z0), tl(V0), dt=DT, u_bound=U_B,
         du_bound=DU_B, vmax=VMAX, v_eps=V_EPS, n_iters=2, n_alphas=3,
         al_rounds=2, interpret=True)

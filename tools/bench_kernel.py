@@ -60,7 +60,7 @@ def main():
 
         def solve(z):
             """z (6, Bt) -> per-lane signature (Bt,)."""
-            V, cost, _ = rmpc_solve_pallas(
+            V, cost, _, _ = rmpc_solve_pallas(
                 theta, ref, w, z, jnp.zeros((N, 2, Bt), jnp.float32),
                 dt=0.02, n_iters=args.iters, n_alphas=args.alphas,
                 al_rounds=args.al_rounds)
@@ -84,7 +84,7 @@ def main():
 
         def solve(z):
             """z (10, Bt) -> per-lane signature (Bt,)."""
-            V, cost = lmpc_solve_pallas(
+            V, cost, _ = lmpc_solve_pallas(
                 pvec, Q, Rw, Q, targ, z,
                 jnp.zeros((N, 2, Bt), jnp.float32),
                 dt=0.002, n_iters=args.iters, n_alphas=args.alphas)
@@ -108,7 +108,7 @@ def main():
 
         def solve(z):
             """z (Bt, 6) -> per-lane signature (Bt,)."""
-            V, cost = pmpc_fast.solve_batch_kernel(
+            V, cost, _ = pmpc_fast.solve_batch_kernel(
                 mus, aux, z, jnp.zeros((Bt, N, 2), jnp.float32),
                 dt=0.002, n_iters=args.iters, n_alphas=args.alphas)
             return jnp.sum(V, axis=(1, 2)) + cost
