@@ -437,7 +437,8 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
                               N: int = 20, max_iters: int = 10,
                               tol: float = 0.01, use_kernel: bool = True,
                               kernel_iters: int = 6, kernel_alphas: int = 4,
-                              kernel_al_rounds: int = 3):
+                              kernel_al_rounds: int = 3,
+                              kernel_max_extra_rounds: int = 2):
     """Batch-major RMPC evaluator: B scenarios advance in ONE jitted scan.
 
     Where `make_rmpc_evaluator` is a per-scenario episode to be vmapped,
@@ -463,7 +464,8 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
         N=N, dt=ctrl_dt,
         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters, al_iters=3),
         kernel_iters=kernel_iters, kernel_alphas=kernel_alphas,
-        kernel_al_rounds=kernel_al_rounds)
+        kernel_al_rounds=kernel_al_rounds,
+        kernel_max_extra_rounds=kernel_max_extra_rounds)
     step_plant = jax.vmap(to_mod.step, in_axes=(0, 0, 0, None))
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy):
