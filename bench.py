@@ -146,10 +146,21 @@ def main():
         elapsed = max((t4 - t1) / (3 * T), 1e-9)
         return B / elapsed
 
+    extra = {}
     try:
         solves_per_s = slope_rate(kernel_solver)
         kernel = True
-    except Exception:
+    except Exception as kernel_err:
+        # The XLA fallback keeps the bench alive on non-TPU backends, but a
+        # kernel failure must stay VISIBLE (and fail the run for quality
+        # errors, not mere unavailability).
+        extra["kernel_error"] = str(kernel_err)[:160]
+        if isinstance(kernel_err, (FloatingPointError, AssertionError)):
+            print(json.dumps({"metric": "pmpc_solves_per_sec_per_chip",
+                              "value": 0.0, "unit": "solves/s",
+                              "vs_baseline": 0.0,
+                              "error": extra["kernel_error"]}))
+            return 1
         try:
             solves_per_s = slope_rate(xla_solver)
             kernel = False
@@ -158,8 +169,6 @@ def main():
                               "value": 0.0, "unit": "solves/s",
                               "vs_baseline": 0.0, "error": str(e)[:120]}))
             return 1
-
-    extra = {}
     if kernel:
         # Adaptive production tier: the PMPCBatch front-end as shipped —
         # warm 2x3 kernel budget + per-lane projected-gradient diagnostics
@@ -199,6 +208,9 @@ def main():
                 ocp, dyn.PMPCParams(mu=mus, dt=DT), aux, xf, Vs)
             extra["value_converged"] = round(float(conv_rate), 1)
             extra["pg_max_converged"] = float(jnp.max(pgs))
+            # cross-check the in-kernel diagnostic (what escalation trusts)
+            # against the independent XLA projected gradient
+            extra["kernel_gnorm_max_converged"] = float(jnp.max(pgs_k))
             extra["converged_budget"] = "kernel 6 iters x 4 alphas"
         except Exception as e:       # keep the headline alive regardless
             extra["value_converged_error"] = str(e)[:120]

@@ -103,9 +103,12 @@ def main(argv=None):
 
         obj, mass, mu = parse_env_name(args.env)
         obj_params = to_mod.make_params(obj, mass=mass, mu=mu)
+        # --eval_episode_steps counts CONTROL steps (10 ms), like the
+        # general eval path; the contact-plant evaluator's n_steps counts
+        # 2 ms plant steps, so convert (control_every = 5).
         evaluate = make_lmpc_evaluator(
-            params, model, n_steps=args.eval_episode_steps,
-            N=args.mpc_horizon, trace=True)
+            params, model, n_steps=args.eval_episode_steps * 5,
+            N=args.mpc_horizon, control_every=5, trace=True)
         dtype = obj_params.mass.dtype
         results, (ps, us) = jax.jit(evaluate)(
             obj_params.kappa_inv, obj_params.mass, obj_params.mu,

@@ -49,6 +49,25 @@ def _diag(sol: ilqr.ILQRSolution) -> SolveDiag:
     return SolveDiag(sol.cost, sol.viol, sol.iters, sol.grad_norm)
 
 
+def _escalate(one_round, first, needs_help, max_rounds: int):
+    """Shared kernel-escalation loop: re-run `one_round(V)` (a tuple whose
+    first element is V) while `needs_help(state)` — a NaN-SAFE per-batch
+    predicate — holds, up to `max_rounds` extra rounds. Returns
+    (final state tuple, rounds used). NaN safety matters: a numerically
+    diverged lane's diagnostics are NaN, and `nan > tol` is False — the
+    predicate must be written as ~(x <= tol) so divergence escalates."""
+    def cond(c):
+        st, r = c
+        return (r < max_rounds) & needs_help(st)
+
+    def body(c):
+        st, r = c
+        return one_round(st[0]), r + 1
+
+    return jax.lax.while_loop(
+        cond, body, (first, jnp.zeros((), jnp.int32)))
+
+
 # --------------------------------------------------------------------------
 # PMPC
 # --------------------------------------------------------------------------
@@ -109,7 +128,6 @@ class PMPCBatch:
                  use_kernel: bool = True, kernel_iters: int = 2,
                  kernel_alphas: int = 3, kernel_tol_grad: float = 5e-3,
                  kernel_max_extra_rounds: int = 2,
-                 g: float = float(dyn.GRAVITY_Z),
                  kernel_interpret: bool = False):
         self.N, self.dt, self.u_bound = N, dt, u_bound
         self.ocp = make_pmpc_ocp(dt=dt, u_bound=u_bound)
@@ -125,13 +143,13 @@ class PMPCBatch:
         # lanes whose post-solve projected-gradient norm exceeds
         # `kernel_tol_grad` trigger up to `kernel_max_extra_rounds` warm
         # kernel re-solves (the anti-silent-divergence escalation).
-        # Gravity is static on the kernel path (construction-time `g`).
+        # Gravity comes from params.g and must be a static python float on
+        # the kernel path (traced values fall back to the XLA paths).
         self.use_kernel = use_kernel
         self.kernel_iters = kernel_iters
         self.kernel_alphas = kernel_alphas
         self.kernel_tol_grad = kernel_tol_grad
         self.kernel_max_extra_rounds = kernel_max_extra_rounds
-        self.g = g
         # Testing knob: run the whole-solve kernel in Pallas interpreter
         # mode on CPU so CI exercises the real escalation code path.
         self.kernel_interpret = kernel_interpret
@@ -148,7 +166,12 @@ class PMPCBatch:
         bc = lambda x: jnp.broadcast_to(jnp.asarray(x, states.dtype), (B,))
         aux = PMPCAux(target=targets, Qp=bc(weights.Qp), Qv=bc(weights.Qv),
                       R=bc(weights.R))
+        # Kernel path requires STATIC gravity (a compile-time kernel
+        # constant); a traced/array params.g falls back to the XLA paths,
+        # which honor it — never silently solve with the wrong model.
+        g_static = params.g if isinstance(params.g, (int, float)) else None
         kernel_ok = (self.use_kernel and self.fast and B % 128 == 0
+                     and g_static is not None
                      and (jax.default_backend() == "tpu"
                           or self.kernel_interpret))
         if kernel_ok:
@@ -161,26 +184,19 @@ class PMPCBatch:
                 return pmpc_fast.solve_batch_kernel(
                     bc(params.mu), aux, states, V, dt=self.dt,
                     u_bound=self.u_bound, n_iters=self.kernel_iters,
-                    n_alphas=self.kernel_alphas, g=self.g,
+                    n_alphas=self.kernel_alphas, g=float(g_static),
                     interpret=self.kernel_interpret)
 
-            V, cost, gnorm = one_round(carry.V)
-
             # Escalation: warm kernel re-solves while any lane is
-            # non-stationary (the fixed 2-iter budget's failure mode).
-            def esc_cond(c):
-                _, _, gn, r = c
-                return (r < self.kernel_max_extra_rounds) & \
-                    (jnp.max(gn) > self.kernel_tol_grad)
+            # non-stationary (the fixed 2-iter budget's failure mode);
+            # NaN-safe so diverged lanes escalate too.
+            def needs_help(st):
+                _, _, gn = st
+                return ~(jnp.max(gn) <= self.kernel_tol_grad)
 
-            def esc_body(c):
-                V, _, _, r = c
-                V2, cost2, gn2 = one_round(V)
-                return V2, cost2, gn2, r + 1
-
-            V, cost, gnorm, rounds = jax.lax.while_loop(
-                esc_cond, esc_body,
-                (V, cost, gnorm, jnp.zeros((), jnp.int32)))
+            (V, cost, gnorm), rounds = _escalate(
+                one_round, one_round(carry.V), needs_help,
+                self.kernel_max_extra_rounds)
             z = jnp.zeros((B,), states.dtype)
             iters = jnp.broadcast_to(
                 (1 + rounds) * self.kernel_iters, (B,)).astype(jnp.int32)
@@ -385,22 +401,15 @@ class RMPCBatch(RMPC):
 
             # the kernel's gnorm is the AL-merit feedforward norm, valid at
             # active constraints too (no inactivity gating needed); lanes
-            # need help when non-stationary OR infeasible.
-            V, cost, viol, gnorm = one_round(carry.V)
+            # need help when non-stationary OR infeasible (NaN-safe).
+            def needs_help(st):
+                _, _, vl, gn = st
+                return ~(jnp.max(vl) <= self.cfg.tol_con) | \
+                    ~(jnp.max(gn) <= self.kernel_tol_grad)
 
-            def esc_cond(c):
-                _, _, vl, gn, r = c
-                return (r < self.kernel_max_extra_rounds) & jnp.any(
-                    (vl > self.cfg.tol_con) | (gn > self.kernel_tol_grad))
-
-            def esc_body(c):
-                V, _, _, _, r = c
-                V2, cost2, viol2, gn2 = one_round(V)
-                return V2, cost2, viol2, gn2, r + 1
-
-            V, cost, viol, gnorm, rounds = jax.lax.while_loop(
-                esc_cond, esc_body,
-                (V, cost, viol, gnorm, jnp.zeros((), jnp.int32)))
+            (V, cost, viol, gnorm), rounds = _escalate(
+                one_round, one_round(carry.V), needs_help,
+                self.kernel_max_extra_rounds)
             iters = jnp.broadcast_to(
                 (1 + rounds) * self.kernel_iters * self.kernel_al_rounds,
                 (B,)).astype(jnp.int32)
@@ -546,21 +555,13 @@ class LMPCBatch(LMPC):
                     n_iters=self.kernel_iters, n_alphas=self.kernel_alphas)
                 return jnp.moveaxis(Vn, -1, 0), cost, gn
 
-            V, cost, gnorm = one_round(carry.V)
+            def needs_help(st):
+                _, _, gn = st
+                return ~(jnp.max(gn) <= self.kernel_tol_grad)   # NaN-safe
 
-            def esc_cond(c):
-                _, _, gn, r = c
-                return (r < self.kernel_max_extra_rounds) & \
-                    (jnp.max(gn) > self.kernel_tol_grad)
-
-            def esc_body(c):
-                V, _, _, r = c
-                V2, cost2, gn2 = one_round(V)
-                return V2, cost2, gn2, r + 1
-
-            V, cost, gnorm, rounds = jax.lax.while_loop(
-                esc_cond, esc_body,
-                (V, cost, gnorm, jnp.zeros((), jnp.int32)))
+            (V, cost, gnorm), rounds = _escalate(
+                one_round, one_round(carry.V), needs_help,
+                self.kernel_max_extra_rounds)
             z = jnp.zeros((B,), states.dtype)
             iters = jnp.broadcast_to(
                 (1 + rounds) * self.kernel_iters, (B,)).astype(jnp.int32)

@@ -299,6 +299,18 @@ def _ilqr_inner(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0, V0, lam, mu):
     return Z, V, K, cost, it, gnorm
 
 
+def _batch_axes(tree, B: int):
+    """vmap in_axes for a params/aux pytree: leaves whose LEADING dim == B
+    are treated as batched, everything else broadcast. Caveat: a SHARED
+    leaf whose first dimension coincidentally equals the batch size is
+    misclassified — callers of the batched APIs must batch every leaf (as
+    all in-repo callers do) or avoid B-sized leading dims on shared data.
+    """
+    return jax.tree.map(
+        lambda x: 0 if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
+                        and x.shape[0] == B) else None, tree)
+
+
 @functools.partial(jax.jit, static_argnames=("ocp", "cfg", "use_pallas"))
 def solve_batch(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
                 V_init: jnp.ndarray, use_pallas: bool = True):
@@ -326,14 +338,9 @@ def solve_batch(ocp: OCPDef, cfg: ILQRConfig, params, aux, z0: jnp.ndarray,
         jax.default_backend() == "tpu"
 
     # Map only leaves that actually carry the batch axis (scalar params like
-    # a shared dt broadcast automatically).
-    def axes_of(tree):
-        return jax.tree.map(
-            lambda x: 0 if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
-                            and x.shape[0] == B) else None, tree)
-
-    p_ax = axes_of(params)
-    a_ax = axes_of(aux)
+    # a shared dt broadcast automatically) — see _batch_axes caveat.
+    p_ax = _batch_axes(params, B)
+    a_ax = _batch_axes(aux, B)
 
     roll_v = jax.vmap(lambda p, z, v: _rollout(ocp, p, z, v),
                       in_axes=(p_ax, 0, 0))
@@ -476,17 +483,12 @@ def projected_grad_norm(ocp: OCPDef, params, aux, z0: jnp.ndarray,
     u_lo = jnp.asarray(ocp.u_lo, V.dtype)
     u_hi = jnp.asarray(ocp.u_hi, V.dtype)
 
-    def axes_of(tree):
-        return jax.tree.map(
-            lambda x: 0 if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
-                            and x.shape[0] == B) else None, tree)
-
     def J(p, a, z, v):
         Z = _rollout(ocp, p, z, v)
         return _raw_cost(ocp, a, Z, v)
 
     g = jax.vmap(jax.grad(J, argnums=3),
-                 in_axes=(axes_of(params), axes_of(aux), 0, 0))(
+                 in_axes=(_batch_axes(params, B), _batch_axes(aux, B), 0, 0))(
                      params, aux, z0, V)
     step = jnp.clip(V - g, u_lo, u_hi) - V
     return jnp.max(jnp.abs(step), axis=(1, 2))
@@ -502,19 +504,15 @@ def constraint_max(ocp: OCPDef, params, aux, z0: jnp.ndarray,
     the criterion instead. Returns (B,)."""
     B, N = V.shape[0], V.shape[1]
 
-    def axes_of(tree):
-        return jax.tree.map(
-            lambda x: 0 if (hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1
-                            and x.shape[0] == B) else None, tree)
-
     def cmax(p, a, z, v):
         Z = _rollout(ocp, p, z, v)
         C = jax.vmap(lambda k, zk, vk: ocp.constraints(zk, vk, k, a))(
             jnp.arange(N), Z[:-1], v)
         return jnp.max(C)
 
-    return jax.vmap(cmax, in_axes=(axes_of(params), axes_of(aux), 0, 0))(
-        params, aux, z0, V)
+    return jax.vmap(cmax,
+                    in_axes=(_batch_axes(params, B), _batch_axes(aux, B),
+                             0, 0))(params, aux, z0, V)
 
 
 @functools.partial(jax.jit, static_argnames=("ocp", "cfg"))
