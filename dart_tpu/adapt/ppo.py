@@ -300,6 +300,13 @@ def replay_add_subsample(buf: ReplayBuffer, obs, actions, logps, rewards,
     """
     T = obs.shape[0]
     n_take = max(1, int(T * frac))
+    # Both shapes are static at trace time: fail loudly on a mis-sized
+    # buffer instead of silently overwriting its tail (ADVICE r2).
+    if buf.obs.shape[0] % n_take != 0:
+        raise ValueError(
+            f"replay capacity {buf.obs.shape[0]} must be a multiple of the "
+            f"per-call take {n_take} (= max(1, int({T} * {frac}))); a "
+            f"non-multiple silently overwrites the buffer tail")
     idx = jax.random.choice(rng, T, (n_take,), replace=False)
     off = jnp.minimum(buf.size, buf.obs.shape[0] - n_take)
     wr = lambda dst, src: jax.lax.dynamic_update_slice_in_dim(

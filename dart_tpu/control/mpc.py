@@ -62,7 +62,14 @@ def _escalate(one_round, first, needs_help, max_rounds: int):
 
     def body(c):
         st, r = c
-        return one_round(st[0]), r + 1
+        # A lane that diverged to NaN would otherwise re-solve from a
+        # NaN-poisoned warm start and can never recover; cold-start those
+        # lanes (zeros) so escalation can actually rescue them (ADVICE r2).
+        V = st[0]
+        lane_ok = jnp.all(jnp.isfinite(V.reshape(V.shape[0], -1)), axis=1)
+        V = jnp.where(lane_ok[:, None, None], V,
+                      jnp.zeros_like(V))
+        return one_round(V), r + 1
 
     return jax.lax.while_loop(
         cond, body, (first, jnp.zeros((), jnp.int32)))
@@ -201,12 +208,16 @@ class PMPCBatch:
             iters = jnp.broadcast_to(
                 (1 + rounds) * self.kernel_iters, (B,)).astype(jnp.int32)
             diag = SolveDiag(cost, z, iters, gnorm)
-        elif self.fast:
+        elif self.fast and g_static is not None:
+            # Forward the static gravity — a non-default params.g must not
+            # be silently replaced by the module default on the fast path
+            # (ADVICE r2); traced/array g routes to the generic batch
+            # solver below, which honors it per lane.
             from dart_tpu.solver import pmpc_fast
             V, Z, cost = pmpc_fast.solve_batch_fast(
                 bc(params.mu), aux, states, carry.V, dt=self.dt,
                 u_bound=self.u_bound, max_iters=self.cfg.max_iters,
-                use_pallas=self.use_pallas)
+                g=float(g_static), use_pallas=self.use_pallas)
             z = jnp.zeros((B,), states.dtype)
             diag = SolveDiag(cost, z, jnp.zeros((B,), jnp.int32), z)
         else:

@@ -84,3 +84,42 @@ def test_kernel_escalation_recovers_starved_budget():
     assert g3 < 0.01 and g3 < g0 / 10, (g0, g3)
     assert int(diag[3].iters[0]) > int(diag[0].iters[0])
     assert float(jnp.mean(diag[3].cost)) <= float(jnp.mean(diag[0].cost))
+
+
+def test_kernel_escalation_rescues_nan_lane():
+    """A lane whose warm start has diverged to NaN must be rescued by the
+    escalation loop via a cold restart, not re-solved from the poisoned
+    warm start forever (ADVICE r2): after escalation the NaN lane's control
+    matches the clean solve of the same problem."""
+    import jax
+
+    from dart_tpu.control import mpc as mpc_mod
+    from dart_tpu.models import dynamics as dyn
+
+    B, N = 128, 8
+    rng = np.random.default_rng(3)
+    states = jnp.asarray(rng.normal(size=(B, 6)) * 0.05, jnp.float32)
+    z = np.zeros(B)
+    tgts = jnp.asarray(np.stack([rng.uniform(-0.1, 0.1, B), z,
+                                 rng.uniform(-0.1, 0.1, B), z,
+                                 np.full(B, 0.43), z], -1), jnp.float32)
+    params = dyn.PMPCParams(mu=jnp.asarray(0.1), dt=0.01)
+    w = mpc_mod.PMPC_WEIGHTS["general"]
+    ctlr = mpc_mod.PMPCBatch(N=N, dt=0.01, kernel_max_extra_rounds=2,
+                             kernel_interpret=True)
+
+    clean = ctlr.init_carry(B, jnp.float32)
+    poisoned = mpc_mod.PMPCCarry(
+        V=clean.V.at[0].set(jnp.nan))
+
+    solve = jax.jit(lambda c: ctlr.solve(c, states, tgts, params, w))
+    _, u_clean, _ = solve(clean)
+    _, u_poisoned, d = solve(poisoned)
+
+    assert bool(jnp.all(jnp.isfinite(u_poisoned)))
+    # the rescued lane solves the same problem from the same (zero) start
+    assert np.allclose(np.asarray(u_poisoned[0]), np.asarray(u_clean[0]),
+                       atol=1e-5)
+    # untouched lanes unaffected
+    assert np.allclose(np.asarray(u_poisoned[1:]), np.asarray(u_clean[1:]),
+                       atol=1e-5)
