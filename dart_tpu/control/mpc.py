@@ -341,7 +341,9 @@ class RMPCBatch(RMPC):
 
     def __init__(self, *args, kernel_iters: int = 6, kernel_alphas: int = 4,
                  kernel_al_rounds: int = 3, kernel_tol_grad: float = 5e-3,
-                 kernel_max_extra_rounds: int = 2, **kwargs):
+                 kernel_max_extra_rounds: int = 2,
+                 kernel_interpret: bool = False,
+                 kernel_xla_fallback: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         # Fixed unrolled budget for the whole-solve kernel. Defaults match
         # the robust evaluator budget (6 iters x 3 AL rounds x 4 alphas):
@@ -357,6 +359,19 @@ class RMPCBatch(RMPC):
         self.kernel_al_rounds = kernel_al_rounds
         self.kernel_tol_grad = kernel_tol_grad
         self.kernel_max_extra_rounds = kernel_max_extra_rounds
+        # Testing knob (mirrors PMPCBatch): run the whole-solve kernel in
+        # Pallas interpreter mode on CPU so CI can reproduce kernel-path
+        # closed-loop behaviour without a TPU.
+        self.kernel_interpret = kernel_interpret
+        # Per-lane safety net (VERDICT r2 next-2): if any lane is still
+        # non-stationary/infeasible AFTER kernel escalation, one XLA
+        # `solve_batch` (adaptive iterations + regularisation ladder +
+        # 8-alpha backtracking) re-solves the batch and the flagged lanes
+        # take its answer. `lax.cond` skips the XLA work entirely on the
+        # (overwhelmingly common) steps where every lane is certified, so
+        # the steady-state throughput stays at kernel speed while the
+        # stiff-RLS transients get IPOPT-grade robustness.
+        self.kernel_xla_fallback = kernel_xla_fallback
 
     def init_carry_batch(self, states0: jnp.ndarray,
                          dtype=jnp.float32) -> RMPCCarry:
@@ -392,7 +407,8 @@ class RMPCBatch(RMPC):
         aux = RMPCAux(ref=refs, Qp=w.Qp, Qv=w.Qv, Ru=w.Ru, Rdu=w.Rdu)
         z0 = jnp.concatenate([states, carry.u_prev], axis=-1)
         kernel_ok = (use_kernel and self.slew_exact and B % 128 == 0 and
-                     jax.default_backend() == "tpu")
+                     (jax.default_backend() == "tpu"
+                      or self.kernel_interpret))
         if kernel_ok:
             from dart_tpu.ops.pallas.rmpc_solve import rmpc_solve_pallas
             tl = lambda x: jnp.moveaxis(x, 0, -1)
@@ -407,7 +423,8 @@ class RMPCBatch(RMPC):
                     n_iters=self.kernel_iters, n_alphas=self.kernel_alphas,
                     al_rounds=self.kernel_al_rounds,
                     mu_init=self.cfg.mu_init, mu_scale=self.cfg.mu_scale,
-                    mu_max=self.cfg.mu_max, tol_con=self.cfg.tol_con)
+                    mu_max=self.cfg.mu_max, tol_con=self.cfg.tol_con,
+                    interpret=self.kernel_interpret)
                 return jnp.moveaxis(Vn, -1, 0), cost, viol, gn
 
             # the kernel's gnorm is the AL-merit feedforward norm, valid at
@@ -421,6 +438,43 @@ class RMPCBatch(RMPC):
             (V, cost, viol, gnorm), rounds = _escalate(
                 one_round, one_round(carry.V), needs_help,
                 self.kernel_max_extra_rounds)
+            if self.kernel_xla_fallback:
+                # Per-lane XLA rescue (VERDICT r2 next-2): lanes still
+                # non-stationary or infeasible after kernel escalation
+                # (stiff-RLS far-target transients — the fixed unrolled
+                # budget's documented failure mode) are re-solved by the
+                # adaptive XLA `solve_batch` (regularisation ladder +
+                # 8-alpha backtracking + AL outer loop) and take its
+                # answer. The cond skips the XLA program entirely on the
+                # common all-certified step, so steady-state throughput
+                # stays at kernel speed.
+                bad = ~(viol <= self.cfg.tol_con) | \
+                    ~(gnorm <= self.kernel_tol_grad)          # (B,) NaN-safe
+
+                def rescue(op):
+                    Vk, ck, vk, gk = op
+                    lane_ok = jnp.all(
+                        jnp.isfinite(Vk.reshape(B, -1)), axis=1)
+                    V_ws = jnp.where(lane_ok[:, None, None], Vk,
+                                     jnp.zeros_like(Vk))
+                    sx = ilqr.solve_batch(self.ocp, self.cfg, params, aux,
+                                          z0, V_ws, use_pallas=use_pallas)
+                    m3 = bad[:, None, None]
+                    Vm = jnp.where(m3, sx.V, Vk)
+                    # sx.grad_norm is the RAW feedforward norm — large at
+                    # active slew bounds even at the optimum. Report the
+                    # box-PROJECTED stationarity instead, matching the
+                    # kernel gnorm semantics, so rescued lanes certify.
+                    pg = ilqr.projected_grad_norm(self.ocp, params, aux,
+                                                  z0, Vm)
+                    return (Vm,
+                            jnp.where(bad, sx.cost, ck),
+                            jnp.where(bad, sx.viol, vk),
+                            jnp.where(bad, pg, gk))
+
+                V, cost, viol, gnorm = jax.lax.cond(
+                    jnp.any(bad), rescue, lambda op: op,
+                    (V, cost, viol, gnorm))
             iters = jnp.broadcast_to(
                 (1 + rounds) * self.kernel_iters * self.kernel_al_rounds,
                 (B,)).astype(jnp.int32)

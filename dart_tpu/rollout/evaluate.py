@@ -438,7 +438,9 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
                               tol: float = 0.01, use_kernel: bool = True,
                               kernel_iters: int = 6, kernel_alphas: int = 4,
                               kernel_al_rounds: int = 3,
-                              kernel_max_extra_rounds: int = 2):
+                              kernel_max_extra_rounds: int = 2,
+                              kernel_interpret: bool = False,
+                              kernel_xla_fallback: bool = True):
     """Batch-major RMPC evaluator: B scenarios advance in ONE jitted scan.
 
     Where `make_rmpc_evaluator` is a per-scenario episode to be vmapped,
@@ -465,7 +467,9 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters, al_iters=3),
         kernel_iters=kernel_iters, kernel_alphas=kernel_alphas,
         kernel_al_rounds=kernel_al_rounds,
-        kernel_max_extra_rounds=kernel_max_extra_rounds)
+        kernel_max_extra_rounds=kernel_max_extra_rounds,
+        kernel_interpret=kernel_interpret,
+        kernel_xla_fallback=kernel_xla_fallback)
     step_plant = jax.vmap(to_mod.step, in_axes=(0, 0, 0, None))
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy):
