@@ -22,6 +22,12 @@ def main(argv=None):
                    help="rmpc only: run each device's whole shard through "
                         "one RMPCBatch solve per control step (whole-solve "
                         "Pallas kernel on TPU; shards padded to 128 lanes)")
+    p.add_argument("--tray_lag", default="calibrated",
+                   choices=["calibrated", "legacy"],
+                   help="tray tracking-lag model: 'calibrated' (default) = "
+                        "the MuJoCo-measured response; 'legacy' = the r1/r2 "
+                        "(40, 1) lag, ~25%% optimistic on convergence time "
+                        "(kept to reproduce historical artifacts)")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (env vars are too late here: "
@@ -46,6 +52,9 @@ def main(argv=None):
                                            make_pmpc_evaluator,
                                            make_rmpc_evaluator)
 
+    from dart_tpu.physics import tray_object as to_mod
+    tray_lag = (to_mod.LEGACY_TRAY_LAG if args.tray_lag == "legacy"
+                else to_mod.CALIBRATED_TRAY_LAG)
     targets = tuple(tuple(float(x) for x in t.split(",")) for t in args.targets)
     dt = 0.002
     n_steps = int(args.runtime / dt)
@@ -58,7 +67,7 @@ def main(argv=None):
         from dart_tpu.rollout.evaluate import make_rmpc_batch_evaluator
         ev = make_rmpc_batch_evaluator(n_steps=n_steps, dt=dt,
                                        control_every=5, warmup_steps=250,
-                                       tol=args.tolerance)
+                                       tol=args.tolerance, tray_lag=tray_lag)
         res, agg = sweep_mod.run_sweep_batched(ev, batch, mesh)
     elif args.controller == "lmpc":
         # Trained-policy LMPC on the contact plant (`run.py:243-311`).
@@ -83,7 +92,7 @@ def main(argv=None):
                               restored["params"])
         ev0 = make_lmpc_evaluator(params, model, n_steps=n_steps, dt=dt,
                                   control_every=5, warmup_steps=250,
-                                  tol=args.tolerance)
+                                  tol=args.tolerance, tray_lag=tray_lag)
 
         def ev(k, m, mu, t):
             # deterministic per-scenario seed for the param-vector init
@@ -99,7 +108,7 @@ def main(argv=None):
         maker = {"pmpc": make_pmpc_evaluator, "rmpc": make_rmpc_evaluator,
                  "mppi": make_mppi_evaluator}[args.controller]
         ev = maker(n_steps=n_steps, dt=dt, control_every=5, warmup_steps=250,
-                   tol=args.tolerance)
+                   tol=args.tolerance, tray_lag=tray_lag)
         res, agg = sweep_mod.run_sweep(ev, batch, mesh)
 
     rows = []
@@ -123,6 +132,7 @@ def main(argv=None):
         "mean_conv_time_s": round(float(agg.mean_conv_time), 3),
         "mean_effort": round(float(agg.mean_effort), 4),
         "devices": len(jax.devices()),
+        "tray_lag": args.tray_lag,
     }
     print(json.dumps(to_jsonable({"summary": summary,
                                   "scenarios": rows}), indent=1))

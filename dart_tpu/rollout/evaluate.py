@@ -48,8 +48,14 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
     tracking lag standing in for the dual-arm layer (use
     `rollout.full_stack` for arm-in-the-loop fidelity runs).
     """
-    ctrl_dt = dt * control_every
-    ctlr = mpc_mod.PMPC(N=N, dt=ctrl_dt, u_bound=u_bound,
+    # Controller discretization = the SIM timestep, as the reference's
+    # (Ts = model.opt.timestep, `main_parallel.py:107-122`): a 15-stage /
+    # 30 ms horizon solved every `control_every` steps. r1/r2 used
+    # dt*control_every (150 ms horizon) — a materially more aggressive
+    # controller (first tilt command -0.6 vs the reference's -0.18 from
+    # rest) whose wind-up the legacy fast tray lag masked; on the
+    # MuJoCo-calibrated lag it limit-cycles where mj_step settles.
+    ctlr = mpc_mod.PMPC(N=N, dt=dt, u_bound=u_bound,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy,
@@ -60,7 +66,7 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
         # The analytic MPC model assumes the commanded friction (the driver
         # passes --friction straight to the model, `main_parallel.py:109`).
         model_mu = mu if assumed_mu is None else assumed_mu
-        params = dyn.PMPCParams(mu=model_mu, dt=ctrl_dt)
+        params = dyn.PMPCParams(mu=model_mu, dt=dt)
         # Shape-dependent weights: blended via the rolling factor is not
         # needed — select by kappa signature (cube (0,0), cyl (2,0), sph).
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
@@ -113,8 +119,7 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
     from dart_tpu.solver import mppi as mppi_mod
     from dart_tpu.solver.ocp import make_pmpc_ocp
 
-    ctrl_dt = dt * control_every
-    ocp = make_pmpc_ocp(dt=ctrl_dt, u_bound=u_bound)
+    ocp = make_pmpc_ocp(dt=dt, u_bound=u_bound)   # reference Ts = sim dt
     cfg = mppi_mod.MPPIConfig(n_samples=n_samples, temperature=0.05,
                               sigma=0.08, n_iters=n_iters)
 
@@ -122,7 +127,7 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
         dtype = mass.dtype
         obj_params = _tray_params(shape_kappa_inv, mass, mu, dtype,
                                   tray_lag)
-        params = dyn.PMPCParams(mu=mu, dt=ctrl_dt)
+        params = dyn.PMPCParams(mu=mu, dt=dt)
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
                              jnp.where(shape_kappa_inv[0] > 0, 1, 0))
         w = _select_weights(shape_id, dtype)
@@ -177,8 +182,13 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
     With `trace=True` also returns the (T, ...) trajectories of controls,
     positions and the RLS estimate, for the episode-JSON logs.
     """
-    ctrl_dt = dt * control_every
-    ctlr = mpc_mod.RMPC(N=N, dt=ctrl_dt,
+    # Controller discretization = the SIM timestep, matching the
+    # reference (Ts = model.opt.timestep, `rob_ctrl.py:280-284`) and the
+    # mj-validated bridge adapter (`mujoco_bridge.rmpc_solve_fn`): a
+    # 20-stage / 40 ms horizon solved every `control_every` steps, with
+    # the RLS finite difference over the call period divided by Ts —
+    # the reference's own convention when solves are throttled.
+    ctlr = mpc_mod.RMPC(N=N, dt=dt,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters,
                                                     al_iters=3))
 
@@ -243,9 +253,28 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
 
 def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
     """Scenario row -> TrayObjectParams (vmappable). `tray_lag` is an
-    optional (omega_n, zeta) pair — scalars or per-axis (2,) tuples; pass
-    `to_mod.CALIBRATED_TRAY_LAG` for the MuJoCo-measured tray response."""
-    omega_n, zeta = tray_lag if tray_lag is not None else (40.0, 1.0)
+    optional (omega_n, zeta[, fast_frac]) tuple — scalars or per-axis
+    (2,) tuples. Default (None) = `to_mod.CALIBRATED_TRAY_LAG` plus the
+    per-shape MuJoCo-fitted contact dissipation (r3 re-baseline); pass
+    `to_mod.LEGACY_TRAY_LAG` to reproduce r1/r2 artifacts (optimistic
+    lag, no dissipation — docs/PERFORMANCE.md)."""
+    calibrated = tray_lag is None
+    lag = to_mod.CALIBRATED_TRAY_LAG if calibrated else tray_lag
+    omega_n, zeta = lag[0], lag[1]
+    lag_fast = lag[2] if len(lag) > 2 else 0.0
+    if calibrated:
+        # shape from the kappa signature: cube (0,0), cylinder (k,0),
+        # sphere (k,k) — same rule as _select_weights.
+        shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
+                             jnp.where(shape_kappa_inv[0] > 0, 1, 0))
+        rr_tab = jnp.asarray([to_mod.CALIBRATED_ROLL_RESIST[s]
+                              for s in to_mod.SHAPES], dtype)
+        sd_tab = jnp.asarray([to_mod.CALIBRATED_SLIDE_DAMP[s]
+                              for s in to_mod.SHAPES], dtype)
+        roll_resist, slide_damp = rr_tab[shape_id], sd_tab[shape_id]
+    else:
+        roll_resist = jnp.asarray(0.0, dtype)
+        slide_damp = jnp.asarray(0.0, dtype)
     return to_mod.TrayObjectParams(
         mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
         slip_eps=jnp.asarray(2e-3, dtype),
@@ -253,7 +282,9 @@ def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
         tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
         half_w=jnp.asarray([0.025, 0.025], dtype),
         h_com=jnp.asarray(0.025, dtype),
-        topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv))
+        topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv),
+        roll_resist=roll_resist, slide_damp=slide_damp,
+        lag_fast=jnp.asarray(lag_fast, dtype))
 
 
 def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
@@ -365,15 +396,17 @@ def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
                               N: int = 15, u_bound: float = 0.6,
                               max_iters: int = 4, tol: float = 0.01,
                               use_kernel: bool = True, kernel_iters: int = 2,
-                              kernel_alphas: int = 3):
+                              kernel_alphas: int = 3, tray_lag=None):
     """Batch-major PMPC evaluator: B scenarios in ONE jitted scan, one
     `PMPCBatch.solve` per control step — the whole-solve Pallas kernel
     (`ops.pallas.pmpc_solve`) on TPU when B % 128 == 0. Per-object weight
     tables selected per lane, matching `make_pmpc_evaluator`. `max_iters`
     governs the XLA fallback path; `kernel_iters`/`kernel_alphas` the
     kernel budget (under-converged lanes self-escalate, see PMPCBatch)."""
-    ctrl_dt = dt * control_every
-    ctlr = mpc_mod.PMPCBatch(N=N, dt=ctrl_dt, u_bound=u_bound,
+    # Controller Ts = sim dt, as in make_pmpc_evaluator (reference
+    # discretization; the r1/r2 150 ms-horizon variant winds up on the
+    # calibrated plant).
+    ctlr = mpc_mod.PMPCBatch(N=N, dt=dt, u_bound=u_bound,
                              cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters),
                              use_kernel=use_kernel, kernel_iters=kernel_iters,
                              kernel_alphas=kernel_alphas)
@@ -383,10 +416,10 @@ def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
         dtype = mass.dtype
         B = mass.shape[0]
         obj_params = jax.vmap(
-            lambda k, m, f: _tray_params(k, m, f, dtype))(
+            lambda k, m, f: _tray_params(k, m, f, dtype, tray_lag))(
                 shape_kappa_inv, mass, mu)
         model_mu = mu if assumed_mu is None else assumed_mu
-        params = dyn.PMPCParams(mu=model_mu, dt=ctrl_dt)
+        params = dyn.PMPCParams(mu=model_mu, dt=dt)
         shape_id = jnp.where(shape_kappa_inv[:, 1] > 0, 2,
                              jnp.where(shape_kappa_inv[:, 0] > 0, 1, 0))
         weights = jax.vmap(lambda s: _select_weights(s, dtype))(shape_id)
@@ -440,7 +473,8 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
                               kernel_al_rounds: int = 3,
                               kernel_max_extra_rounds: int = 2,
                               kernel_interpret: bool = False,
-                              kernel_xla_fallback: bool = True):
+                              kernel_xla_fallback: bool = True,
+                              tray_lag=None):
     """Batch-major RMPC evaluator: B scenarios advance in ONE jitted scan.
 
     Where `make_rmpc_evaluator` is a per-scenario episode to be vmapped,
@@ -461,9 +495,9 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
     Returns `evaluate(kappa_inv (B,2), mass (B,), mu (B,), target_xy (B,2))
     -> PMPCScenarioResult` with per-lane Metrics.
     """
-    ctrl_dt = dt * control_every
+    # Controller Ts = sim dt (see make_rmpc_evaluator).
     ctlr = mpc_mod.RMPCBatch(
-        N=N, dt=ctrl_dt,
+        N=N, dt=dt,
         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters, al_iters=3),
         kernel_iters=kernel_iters, kernel_alphas=kernel_alphas,
         kernel_al_rounds=kernel_al_rounds,
@@ -476,7 +510,7 @@ def make_rmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
         dtype = mass.dtype
         B = mass.shape[0]
         obj_params = jax.vmap(
-            lambda k, m, f: _tray_params(k, m, f, dtype))(
+            lambda k, m, f: _tray_params(k, m, f, dtype, tray_lag))(
                 shape_kappa_inv, mass, mu)
         zero = jnp.zeros((B,), dtype)
         target4 = jnp.stack([target_xy[:, 0], zero, target_xy[:, 1], zero],

@@ -41,16 +41,17 @@ def main():
     ap.add_argument("--mpc_horizon", type=int, default=8,
                     help="lmpc only: must match the checkpoint's training "
                          "horizon")
-    ap.add_argument("--runtime", type=float, default=None,
-                    help="sim seconds cap per episode (default 10 pmpc / "
-                         "30 rmpc; reference quotes 10-30 s convergence)")
+    ap.add_argument("--runtime", type=float, default=15.0,
+                    help="sim seconds per episode; episodes run PAST first "
+                         "convergence (VERDICT r2 next-4) so the recorded "
+                         "SSE is SETTLED, not stop-at-first-crossing")
     ap.add_argument("--control_every", type=int, default=5,
                     help="MPC period in 2 ms steps (5 = the reference's "
                          "~100 Hz parallel solve rate)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    runtime = args.runtime or (10.0 if args.controller == "pmpc" else 30.0)
+    runtime = args.runtime
     n_steps = int(runtime / 0.002)
     ctrl_dt = 0.002 * args.control_every
 
@@ -81,23 +82,33 @@ def main():
         for mass in MASSES:
             for mu in MUS:
                 model, data = MB.make_world(shape, mass=mass, mu=mu)
+                # Controller discretization: the REFERENCE's Ts = sim
+                # timestep for PMPC/RMPC (`main_parallel.py:108`,
+                # `rob_ctrl.py:280`); LMPC keeps the checkpoint's training
+                # discretization (10 ms, N=8-12 — compile-budget trade).
                 if args.controller == "pmpc":
                     solve, carry, obs = MB.pmpc_solve_fn(shape=shape, mu=mu,
-                                                         dt=ctrl_dt)
+                                                         dt=0.002)
                 elif args.controller == "lmpc":
                     solve, carry, obs = MB.lmpc_solve_fn(
                         policy[0], policy[1], N=args.mpc_horizon, dt=ctrl_dt)
                 else:
                     idx = MB.index_world(model)
                     solve, carry, obs = MB.rmpc_solve_fn(
-                        dt=ctrl_dt, state0=MB.observe4(data, idx))
+                        dt=0.002, state0=MB.observe4(data, idx))
                 t0 = time.time()
                 out = MB.run_closed_loop(
                     model, data, solve, carry, obs, TARGET,
                     n_steps=n_steps, control_every=args.control_every,
-                    torque_fn=torque_fn)
+                    torque_fn=torque_fn, stop_on_converge=False)
                 m = out["metrics"]
+                errs = out["errs"]
+                ca = out["converged_at"]
+                post_max = float(errs[ca:].max()) if ca is not None else None
                 row = {"shape": shape, "mass": mass, "mu": mu, **m,
+                       "settled_sse_mm": round(1e3 * float(errs[-1]), 2),
+                       "post_conv_max_mm": (round(1e3 * post_max, 2)
+                                            if post_max is not None else None),
                        "wall_s": round(time.time() - t0, 1)}
                 rows.append(row)
                 print(json.dumps(row), flush=True)
@@ -107,10 +118,12 @@ def main():
         "controller": args.controller,
         "plant": "mujoco (reference world_general.xml, rewritten per config)",
         "target": TARGET, "tol": 0.01, "control_every": args.control_every,
-        "runtime_cap_s": runtime,
+        "runtime_s": runtime, "stop_on_converge": False,
         "success": f"{n_conv}/{len(rows)}",
         "mean_sse_mm": round(1e3 * float(np.mean(
             [r["steady_state_error"] for r in rows])), 2),
+        "mean_settled_sse_mm": round(float(np.mean(
+            [r["settled_sse_mm"] for r in rows])), 2),
         "mean_conv_time_s": round(float(np.mean(
             [r["convergence_time"] for r in rows if r["converged"]])), 2)
         if n_conv else None,
