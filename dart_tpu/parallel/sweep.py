@@ -64,8 +64,24 @@ def run_sweep_batched(evaluate_batch: Callable, batch: ScenarioBatch,
                 batch, mesh, axis, lane_multiple)
 
 
-def _run(eval_shard: Callable, batch: ScenarioBatch, mesh: Mesh,
-         axis: str, lane_multiple: int):
+def sweep_hlo(evaluate: Callable, batch: ScenarioBatch, mesh: Mesh,
+              axis: str = "scenario") -> str:
+    """Optimized HLO text of the compiled sharded sweep program — for the
+    collective census (`tools/bench_scaling.py`): the scenario axis is
+    pure data parallelism, so the ONLY collectives in the whole program
+    must be the final metric-aggregate psums, independent of device
+    count. This turns the scaling claim ("collective-free episode body")
+    into a measured property of the compiled program rather than an
+    assertion — the honest substitute for multi-chip wall-clock scaling
+    on a host with one reachable chip."""
+    sharded, padded, valid = _build(
+        lambda s: jax.vmap(lambda k, m, mu, t: evaluate(k, m, mu, t))(
+            s.kappa_inv, s.mass, s.mu, s.target_xy), batch, mesh, axis, 1)
+    return jax.jit(sharded).lower(padded, valid).compile().as_text()
+
+
+def _build(eval_shard: Callable, batch: ScenarioBatch, mesh: Mesh,
+           axis: str, lane_multiple: int):
     n_dev = mesh.devices.size
     padded, n_real = pad_to_multiple(batch, n_dev * lane_multiple)
     valid = (jnp.arange(padded.size) < n_real).astype(batch.mass.dtype)
@@ -88,6 +104,15 @@ def _run(eval_shard: Callable, batch: ScenarioBatch, mesh: Mesh,
                             in_specs=(P(axis), P(axis)),
                             out_specs=(P(axis), P()),
                             check_vma=False)
+    return sharded, padded, valid
+
+
+def _run(eval_shard: Callable, batch: ScenarioBatch, mesh: Mesh,
+         axis: str, lane_multiple: int):
+    n_dev = mesh.devices.size
+    _, n_real = pad_to_multiple(batch, n_dev * lane_multiple)
+    sharded, padded, valid = _build(eval_shard, batch, mesh, axis,
+                                    lane_multiple)
     res, agg = jax.jit(sharded)(padded, valid)
     trim = jax.tree.map(lambda x: x[:n_real], res)
     n_conv = jnp.maximum(agg.n_converged, 1.0)

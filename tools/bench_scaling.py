@@ -1,22 +1,112 @@
-"""Mesh scaling benchmark: sweep throughput vs number of devices.
+"""Mesh scaling measurement -> artifacts/scaling_r3.json (VERDICT r2 next-5).
 
-On a pod slice this measures real scaling efficiency (solves/s at n chips
-vs n * single-chip); on one chip or the CPU host platform it validates the
-sharded execution path and prints the single-device baseline.
+On a pod slice this measures real scaling efficiency (episodes/s at n
+chips vs n x single-chip). Only one real chip is reachable here, so the
+tool measures the three things that CAN be measured honestly and records
+them together:
 
-    python tools/bench_scaling.py            # all local devices
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/bench_scaling.py        # virtual mesh plumbing check
+1. WEAK SCALING on virtual CPU devices (1/2/4/8): wall time for per_dev
+   episodes per device. On this host the curve is CORE-BOUND (nproc is
+   recorded next to it) — with 2 cores, efficiency at 2 devices is the
+   real parallelism signal and the 4/8-device points measure sharding
+   overhead on oversubscribed cores, not the design.
+2. COLLECTIVE CENSUS of the compiled 8-device sharded program
+   (`parallel.sweep.sweep_hlo`): the scenario axis is pure data
+   parallelism, so the only collectives in the optimized HLO must be the
+   final metric-aggregate psums, with a count INDEPENDENT of device
+   count. This is the measured, compiled-program form of the scaling
+   claim ("collective-free episode body") — ICI/DCN traffic per episode
+   is literally zero, so multi-chip efficiency is bounded by launch
+   overheads, not communication.
+3. 2-PROCESS DCN PATH: the same sweep through `jax.distributed` across
+   two OS processes (1 virtual device each), wall-time-compared against
+   the single-process 2-device run — exercises the real multi-host code
+   path end to end.
+
+    python tools/bench_scaling.py --cpu     # writes artifacts/scaling_r3.json
 """
 
 import json
 import os
+import re
+import socket
+import subprocess
 import sys
+import textwrap
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
+
+PER_DEV = 32
+N_STEPS = 500
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+_DCN_WORKER = textwrap.dedent("""
+    import os, sys, time
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dart_tpu.parallel import mesh as mesh_mod
+
+    ok = mesh_mod.init_distributed(coordinator_address={addr!r},
+                                   num_processes=2,
+                                   process_id=int(sys.argv[1]))
+    assert ok and jax.process_count() == 2
+    # heavy imports AFTER init_distributed: module-level jnp constants
+    # (e.g. control.mpc weight tables) would initialise the backend early
+    import jax.numpy as jnp
+    import numpy as np
+    from dart_tpu.parallel import sweep as sweep_mod
+    from dart_tpu.io import scenes
+    from dart_tpu.rollout.evaluate import make_pmpc_evaluator
+    mesh = mesh_mod.global_mesh()
+    ev = make_pmpc_evaluator(n_steps={n_steps}, dt=0.002, control_every=5,
+                             warmup_steps=100, max_iters=4)
+    rng = np.random.default_rng(0)
+    batch = scenes.random_scenarios(rng, {per_dev} * jax.device_count(),
+                                    dtype=jnp.float32)
+    sweep_mod.run_sweep(ev, batch, mesh)          # compile
+    t0 = time.time()
+    res, agg = sweep_mod.run_sweep(ev, batch, mesh)
+    el = time.time() - t0
+    if jax.process_index() == 0:
+        print("DCN_RESULT", el, batch.size, float(agg.n))
+""")
+
+
+def measure_dcn(per_dev, n_steps):
+    addr = f"127.0.0.1:{_free_port()}"
+    script = "/tmp/_scaling_dcn_worker.py"
+    with open(script, "w") as f:
+        f.write(_DCN_WORKER.format(repo=REPO, addr=addr, per_dev=per_dev,
+                                   n_steps=n_steps))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)   # 1 device per process
+    procs = [subprocess.Popen([sys.executable, script, str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"DCN proc {pid} failed:\n{out[-2000:]}")
+    m = re.search(r"DCN_RESULT ([\d.]+) (\d+)", outs[0] + outs[1])
+    assert m, outs
+    el, size = float(m.group(1)), int(m.group(2))
+    return {"processes": 2, "devices": 2, "episodes": size,
+            "wall_s": round(el, 2), "episodes_per_s": round(size / el, 2)}
 
 
 def main():
@@ -25,6 +115,8 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (env vars are too late here); pair with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    ap.add_argument("--out", default="artifacts/scaling_r3.json")
+    ap.add_argument("--skip_dcn", action="store_true")
     args = ap.parse_args()
     import jax
     if args.cpu:
@@ -36,31 +128,69 @@ def main():
     from dart_tpu.rollout.evaluate import make_pmpc_evaluator
 
     n_total = len(jax.devices())
-    per_dev = 32            # scenarios per device
-    ev = make_pmpc_evaluator(n_steps=500, dt=0.002, control_every=5,
+    ev = make_pmpc_evaluator(n_steps=N_STEPS, dt=0.002, control_every=5,
                              warmup_steps=100, max_iters=4)
     rng = np.random.default_rng(0)
-    results = []
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+
+    # 1. weak scaling
+    weak = []
     base_rate = None
-    for n in sizes:
-        batch = scenes.random_scenarios(rng, per_dev * n, dtype=jnp.float32)
+    for n in [k for k in (1, 2, 4, 8, 16, 32) if k <= n_total]:
+        batch = scenes.random_scenarios(rng, PER_DEV * n, dtype=jnp.float32)
         mesh = sweep_mod.make_mesh(n)
-        # compile + measure
-        res, agg = sweep_mod.run_sweep(ev, batch, mesh)
-        t0 = time.time()
-        res, agg = sweep_mod.run_sweep(ev, batch, mesh)
-        el = time.time() - t0
-        episodes_per_s = batch.size / el
+        sweep_mod.run_sweep(ev, batch, mesh)      # compile
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            sweep_mod.run_sweep(ev, batch, mesh)
+            reps.append(time.time() - t0)
+        el = float(np.median(reps))
+        rate = batch.size / el
         if base_rate is None:
-            base_rate = episodes_per_s
-        eff = episodes_per_s / (base_rate * n)
-        results.append({"devices": n, "episodes": batch.size,
-                        "episodes_per_s": round(episodes_per_s, 1),
-                        "efficiency_vs_1dev": round(eff, 3)})
-        print(json.dumps(results[-1]))
-    print(json.dumps({"platform": jax.default_backend(),
-                      "note": "efficiency meaningful only with real chips"}))
+            base_rate = rate
+        weak.append({"devices": n, "episodes": batch.size,
+                     "wall_s": round(el, 2),
+                     "episodes_per_s": round(rate, 2),
+                     "efficiency_vs_1dev": round(rate / (base_rate * n), 3)})
+        print(json.dumps(weak[-1]), flush=True)
+
+    # 2. collective census of the compiled sharded program
+    census = []
+    for n in [k for k in (2, 8) if k <= n_total]:
+        batch = scenes.random_scenarios(rng, PER_DEV * n, dtype=jnp.float32)
+        hlo = sweep_mod.sweep_hlo(ev, batch, sweep_mod.make_mesh(n))
+        counts = {op: len(re.findall(rf"\b{op}\b", hlo))
+                  for op in ("all-reduce", "all-gather", "all-to-all",
+                             "collective-permute", "reduce-scatter")}
+        census.append({"devices": n, "collectives": counts,
+                       "hlo_bytes": len(hlo)})
+        print(json.dumps(census[-1]), flush=True)
+    if len(census) == 2:
+        same = census[0]["collectives"] == census[1]["collectives"]
+        print(f"[scaling] collective count device-count-invariant: {same}")
+
+    # 3. 2-process DCN path
+    dcn = None
+    if not args.skip_dcn:
+        dcn = measure_dcn(PER_DEV, N_STEPS)
+        print(json.dumps(dcn), flush=True)
+
+    out = {
+        "platform": jax.default_backend(),
+        "nproc": os.cpu_count(),
+        "note": ("virtual CPU devices share nproc cores: the weak-scaling "
+                 "curve is core-bound beyond nproc devices; the collective "
+                 "census is the device-count-independent evidence "
+                 "(aggregate-only collectives => per-episode ICI/DCN "
+                 "traffic is zero)"),
+        "episode_steps": N_STEPS, "episodes_per_device": PER_DEV,
+        "weak_scaling": weak, "collective_census": census,
+        "dcn_2process": dcn,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[scaling] wrote {args.out}")
     return 0
 
 
