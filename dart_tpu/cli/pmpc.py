@@ -29,6 +29,11 @@ def build_parser():
                    help="run the dual-arm physics world instead of the "
                         "tray-lag plant")
     p.add_argument("--log_dir", default=None)
+    p.add_argument("--stream", default=None, metavar="RING_PATH",
+                   help="stream per-step telemetry records from inside the "
+                        "jitted loop through the native C++ ring buffer "
+                        "(io.streaming.TelemetryTap); read back with "
+                        "io.ringlog.RingLogger.read")
     p.add_argument("--f64", action="store_true")
     return p
 
@@ -79,8 +84,15 @@ def main(argv=None):
         ps = np.asarray(ps)
         us = np.asarray(us)
     else:
+        tap = None
+        if args.stream:
+            from dart_tpu.io.streaming import (EPISODE_STREAM_DTYPE,
+                                               TelemetryTap)
+            tap = TelemetryTap(args.stream, EPISODE_STREAM_DTYPE,
+                               capacity_records=1 << 16)
         ev = make_pmpc_evaluator(n_steps=n_steps, dt=dt, control_every=5,
-                                 warmup_steps=250, tol=args.tolerance)
+                                 warmup_steps=250, tol=args.tolerance,
+                                 tap=tap)
         kinv = jnp.asarray(_KAPPA_INV[args.object_name], dtype)
 
         def run():
@@ -88,7 +100,15 @@ def main(argv=None):
                                jnp.asarray(args.friction, dtype),
                                jnp.asarray(args.target, dtype))
 
-        res, compile_s, run_s = timed_call(run)
+        if tap is not None:
+            # streaming: execute exactly once (timed_call's warm reps
+            # would push duplicate records through the ring)
+            import time as _time
+            t0 = _time.perf_counter()
+            res = jax.block_until_ready(run())
+            compile_s, run_s = _time.perf_counter() - t0, float("nan")
+        else:
+            res, compile_s, run_s = timed_call(run)
         m = res.metrics
         out = {
             "steady_state_error": float(m.steady_state_error),
@@ -99,6 +119,12 @@ def main(argv=None):
             "run_s": round(run_s, 3),
             "sim_steps": n_steps,
         }
+        if tap is not None:
+            st = tap.stats()
+            tap.close()
+            out["stream"] = {"path": args.stream,
+                             "records": int(st["pushed"]),
+                             "dropped": int(st["dropped"])}
         print(json.dumps(to_jsonable(out)))
         return 0
 

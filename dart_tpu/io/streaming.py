@@ -25,6 +25,12 @@ import jax.numpy as jnp
 
 from dart_tpu.io.ringlog import RingLogger
 
+# Per-step record schema streamed by the production episode drivers
+# (`cli/pmpc --stream`, `rollout.evaluate.make_pmpc_evaluator(tap=...)`).
+EPISODE_STREAM_DTYPE = np.dtype([("k", "<i4"), ("px", "<f4"), ("py", "<f4"),
+                                 ("ux", "<f4"), ("uy", "<f4"),
+                                 ("err", "<f4")])
+
 
 class TelemetryTap:
     """Bridges jitted code to the native ring via io_callback.

@@ -40,7 +40,7 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
                         control_every: int = 5, warmup_steps: int = 250,
                         N: int = 15, u_bound: float = 0.6,
                         max_iters: int = 10, tol: float = 0.01,
-                        tray_lag=None):
+                        tray_lag=None, tap=None):
     """Build a jittable (scenario -> metrics) evaluator.
 
     The MPC runs at dt*control_every (10 ms ~ the reference's ~100 Hz
@@ -93,6 +93,17 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
                                          ctrl_carry)
             u_apply = jnp.where(k >= warmup_steps, u, jnp.zeros_like(u))
             s = to_mod.step(s, u_apply, obj_params, dt)
+            if tap is not None:
+                # Production telemetry: per-step records from INSIDE the
+                # jitted scan through the native C++ ring (`io.streaming.
+                # TelemetryTap`) — the reference's async-logger-process
+                # semantics (P4) without leaving the device program. Only
+                # valid on the single-episode path (io_callback does not
+                # vmap); sweeps must pass tap=None.
+                tap.emit(k=k, px=s.p[0], py=s.p[1],
+                         ux=u_apply[0], uy=u_apply[1],
+                         err=jnp.sqrt((s.p[0] - target_xy[0]) ** 2
+                                      + (s.p[1] - target_xy[1]) ** 2))
             return (ctrl_carry, s, u), (s.p, u_apply)
 
         s0 = to_mod.init_state(dtype=dtype)

@@ -60,3 +60,38 @@ def test_solver_best_effort_on_degenerate_problem():
     assert np.all(np.isfinite(np.asarray(sol.Z)))
     assert np.all(np.abs(np.asarray(sol.V)) <= 0.1 + 1e-9)
     assert np.isfinite(float(sol.cost))
+
+
+def test_evaluator_streams_through_native_ring(tmp_path):
+    """Production path (VERDICT r2 next-9): `make_pmpc_evaluator(tap=...)`
+    emits per-step records from INSIDE the jitted scan through the native
+    ring — `cli/pmpc --stream` end-to-end, minus argparse."""
+    import jax
+
+    from dart_tpu.io.ringlog import RingLogger
+    from dart_tpu.io.streaming import EPISODE_STREAM_DTYPE, TelemetryTap
+    from dart_tpu.physics.tray_object import _KAPPA_INV
+    from dart_tpu.rollout.evaluate import make_pmpc_evaluator
+
+    path = str(tmp_path / "ep.ring")
+    tap = TelemetryTap(path, EPISODE_STREAM_DTYPE, capacity_records=4096)
+    n_steps = 400
+    ev = make_pmpc_evaluator(n_steps=n_steps, dt=0.002, control_every=5,
+                             warmup_steps=100, max_iters=4, tap=tap)
+    kinv = jnp.asarray(_KAPPA_INV["cube"], jnp.float32)
+    res = jax.jit(ev)(kinv, jnp.float32(1.0), jnp.float32(0.1),
+                      jnp.asarray([0.05, -0.04], jnp.float32))
+    jax.block_until_ready(res.final_p)
+    st = tap.stats()
+    tap.close()
+    assert st["pushed"] == n_steps, st
+    assert st["dropped"] == 0, st
+    arr = RingLogger.read(path, EPISODE_STREAM_DTYPE)
+    assert arr.shape == (n_steps,)
+    # ordered=True: records arrive in program order
+    assert (np.diff(arr["k"]) == 1).all()
+    # the final record's error matches the final state
+    import math
+    err = math.hypot(float(res.final_p[0]) - 0.05,
+                     float(res.final_p[1]) + 0.04)
+    assert abs(float(arr["err"][-1]) - err) < 1e-5
