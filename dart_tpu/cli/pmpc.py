@@ -29,6 +29,10 @@ def build_parser():
                    help="run the dual-arm physics world instead of the "
                         "tray-lag plant")
     p.add_argument("--log_dir", default=None)
+    p.add_argument("--video", default=None, metavar="MP4_PATH",
+                   help="with --full_stack: render the episode to a "
+                        "scene-true arms+tray+object mp4 (software "
+                        "rasteriser over chain.fk — no GL needed)")
     p.add_argument("--stream", default=None, metavar="RING_PATH",
                    help="stream per-step telemetry records from inside the "
                         "jitted loop through the native C++ ring buffer "
@@ -51,6 +55,9 @@ def main(argv=None):
     from dart_tpu.rollout.evaluate import make_pmpc_evaluator
     from dart_tpu.utils.timing import timed_call
 
+    if args.video and not args.full_stack:
+        build_parser().error("--video requires --full_stack (the plant-only "
+                             "path has no arms to render)")
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
         jax.config.update("jax_enable_x64", True)
@@ -62,11 +69,13 @@ def main(argv=None):
         scene = fs.make_scene(dt=dt, dtype=dtype)
         obj_params = to_mod.make_params(args.object_name, args.mass,
                                         args.friction, dtype=dtype)
-        ctlr = mpc_mod.PMPC(N=15, dt=dt * 5, u_bound=0.6,
+        # reference controller discretization Ts = sim dt
+        # (`main_parallel.py:108`; see docs/PERFORMANCE.md r3 re-baseline)
+        ctlr = mpc_mod.PMPC(N=15, dt=dt, u_bound=0.6,
                             cfg=mpc_mod.ilqr.ILQRConfig(max_iters=10))
         weights = (mpc_mod.PMPC_WEIGHTS["general"] if args.no_tune
                    else mpc_mod.PMPC_WEIGHTS[args.object_name])
-        params = dyn.PMPCParams(mu=args.friction, dt=dt * 5)
+        params = dyn.PMPCParams(mu=args.friction, dt=dt)
         target6 = jnp.asarray([args.target[0], 0, args.target[1], 0, 0.43, 0],
                               dtype)
 
@@ -78,9 +87,16 @@ def main(argv=None):
                 scene, solve_fn, ctlr.init_carry(dtype),
                 fs.init_full_state(dtype), target6, obj_params,
                 n_steps=n_steps, dt=dt, control_every=5, warmup_steps=250,
-                qp_iters=40)
+                qp_iters=40, record_joints=bool(args.video))
 
-        (ps, thetas, us, _), compile_s, run_s = timed_call(run)
+        out_t, compile_s, run_s = timed_call(run)
+        if args.video:
+            ps, thetas, us, qLs, qRs, _ = out_t
+            from dart_tpu.io.video import save_scene_video
+            save_scene_video(args.video, qLs, qRs, ps, thetas, args.target,
+                             scene=scene)
+        else:
+            ps, thetas, us, _ = out_t
         ps = np.asarray(ps)
         us = np.asarray(us)
     else:

@@ -218,15 +218,18 @@ def observe_object_8(state: FullState, obj_params: to_mod.TrayObjectParams):
 
 @partial(jax.jit, static_argnames=("solve_fn", "n_steps", "control_every",
                                    "warmup_steps", "qp_iters", "observe",
-                                   "qp_every"))
+                                   "qp_every", "record_joints"))
 def run_full_stack(scene: DualArmScene, solve_fn: Callable, ctrl_carry0: Any,
                    state0: FullState, target: jnp.ndarray,
                    obj_params: to_mod.TrayObjectParams, n_steps: int,
                    dt: float = 0.002, control_every: int = 1,
                    warmup_steps: int = 0, qp_iters: int = 60,
-                   observe: Callable = observe_object, qp_every: int = 1):
+                   observe: Callable = observe_object, qp_every: int = 1,
+                   record_joints: bool = False):
     """Closed loop over the full stack. solve_fn(carry, obs, target) ->
-    (carry, u, diag). Returns stacked (obj states, controls, final state).
+    (carry, u, diag). Returns stacked (obj states, controls, final state);
+    with ``record_joints`` the tuple gains per-step (qL, qR) joint
+    trajectories for scene-true rendering (`io.video.render_scene`).
 
     `qp_every` replays the reference's arm-QP deadline semantics
     (`PMPC/src/controller/arm.py:221-229`): the per-arm impedance QP waits
@@ -269,10 +272,17 @@ def run_full_stack(scene: DualArmScene, solve_fn: Callable, ctrl_carry0: Any,
                                        stale_branch, st)
             st = advance_world(scene, st, st.armL, st.armR, tau_new[:7],
                                tau_new[7:], obj_params, dt)
-        return (ctrl_carry, st, u, tau_new), (st.obj.p, st.obj.theta, u_apply)
+        out = (st.obj.p, st.obj.theta, u_apply)
+        if record_joints:
+            out = out + (st.qL, st.qR)
+        return (ctrl_carry, st, u, tau_new), out
 
-    (ctrl_carry, st, _, _), (ps, thetas, us) = jax.lax.scan(
+    (ctrl_carry, st, _, _), outs = jax.lax.scan(
         stepf, (ctrl_carry0, state0, jnp.zeros(2, state0.qL.dtype),
                 jnp.zeros(14, state0.qL.dtype)),
         jnp.arange(n_steps))
+    if record_joints:
+        ps, thetas, us, qLs, qRs = outs
+        return ps, thetas, us, qLs, qRs, st
+    ps, thetas, us = outs
     return ps, thetas, us, st

@@ -62,3 +62,41 @@ def test_video_writer_thread_sentinel(tmp_path):
     w.close()
     assert w.frames_written == 3
     assert not w.thread.is_alive()
+
+
+def test_scene_true_render_shows_moving_arms(tmp_path):
+    """VERDICT r2 next-8: scene-true rendering without GL — the arms are
+    actually visible and MOVE across frames (software rasteriser over
+    chain.fk; `main_parallel_enhanced.py:281-361` equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dart_tpu.control import mpc as mpc_mod
+    from dart_tpu.io.video import render_scene, save_scene_video
+    from dart_tpu.models import dynamics as dyn
+    from dart_tpu.physics import tray_object as to_mod
+    from dart_tpu.rollout import full_stack as fs
+
+    dtype = jnp.float32
+    scene = fs.make_scene(dtype=dtype)
+    obj_params = to_mod.make_params("cube", 1.0, 0.1, dtype=dtype)
+    ctlr = mpc_mod.PMPC(N=15, dt=0.002,
+                        cfg=mpc_mod.ilqr.ILQRConfig(max_iters=6))
+    params = dyn.PMPCParams(mu=0.1, dt=0.002)
+    target6 = jnp.asarray([0.05, 0, -0.04, 0, 0.43, 0], dtype)
+    ps, thetas, us, qLs, qRs, _ = fs.run_full_stack(
+        scene, lambda c, o, t: ctlr.solve(
+            c, o, t, params, mpc_mod.PMPC_WEIGHTS["cube"]),
+        ctlr.init_carry(dtype), fs.init_full_state(dtype), target6,
+        obj_params, n_steps=300, dt=0.002, control_every=5,
+        warmup_steps=50, qp_iters=30, record_joints=True)
+    frames = render_scene(qLs, qRs, ps, thetas, (0.05, -0.04),
+                          scene=scene, every=149)
+    assert len(frames) >= 2
+    assert frames[0].ndim == 3 and frames[0].shape[2] == 3
+    # the arms tilt the tray within the first 0.6 s: frames must differ
+    d = np.abs(frames[0].astype(int) - frames[-1].astype(int)).mean()
+    assert d > 0.2, d
+    n = save_scene_video(str(tmp_path / "scene.mp4"), qLs, qRs, ps, thetas,
+                         (0.05, -0.04), scene=scene, every=100)
+    assert n >= 3
