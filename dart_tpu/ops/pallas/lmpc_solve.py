@@ -55,7 +55,7 @@ LANES = 128
 _G = 9.81   # positive, hard-coded like the reference (`rlmpc2.py:342`)
 
 
-def _lmpc_kernel(N, n_iters, n_alphas, dt,
+def _lmpc_kernel(N, n_iters, n_alphas, dt, roll_loops,
                  p_ref, Q_ref, R_ref, Qt_ref, t_ref, z0_ref, V0_ref,
                  lo_ref, hi_ref, V_out, cost_out, gnorm_out):
     praw = p_ref[...]           # (34, L)
@@ -311,8 +311,17 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
 
     done = jnp.zeros_like(cost, dtype=jnp.bool_)
     carry = (X, V, cost, done, jnp.zeros_like(cost))
-    for _ in range(n_iters):
-        carry = iteration(carry)
+    # Small budgets unroll (warm path, cache-stable program); robust
+    # budgets roll via fori_loop — one compiled iteration body instead of
+    # n_iters copies (VERDICT r2 next-6 compile-time work). Results agree
+    # to f32 roundoff (fusion choices may differ per copy).
+    roll = (n_iters > 3) if roll_loops is None else roll_loops
+    if not roll:
+        for _ in range(n_iters):
+            carry = iteration(carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_iters, lambda _, c: iteration(c),
+                                  carry)
     _, V, cost, _, gnorm = carry
     V_out[...] = V
     cost_out[...] = cost[None]
@@ -322,11 +331,12 @@ def _lmpc_kernel(N, n_iters, n_alphas, dt,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "n_alphas", "dt",
-                                             "u_bound", "interpret"))
+                                             "u_bound", "interpret",
+                                             "roll_loops"))
 def lmpc_solve_pallas(pvec, Q, R, Qt, target, z0, V0,
                       dt: float, u_bound: float = 0.4,
                       n_iters: int = 2, n_alphas: int = 3,
-                      interpret: bool = False):
+                      interpret: bool = False, roll_loops=None):
     """Batch-last layout: pvec (34,Bt), Q/Qt/target (8,Bt), R (4,Bt),
     z0 (10,Bt), V0 (N,2,Bt), Bt % 128 == 0. Returns (V, cost, gnorm)."""
     N = V0.shape[0]
@@ -337,7 +347,8 @@ def lmpc_solve_pallas(pvec, Q, R, Qt, target, z0, V0,
     hi = jnp.full((2, Bt), u_bound, dtype)
     V0 = jnp.clip(V0, -u_bound, u_bound)
 
-    kernel = functools.partial(_lmpc_kernel, N, n_iters, n_alphas, dt)
+    kernel = functools.partial(_lmpc_kernel, N, n_iters, n_alphas, dt,
+                               roll_loops)
 
     # Batch folded onto (S, 128) sublane x lane tiles (full f32 vregs per
     # "lane scalar", 1024 scenarios/tile) when the batch allows; the kernel

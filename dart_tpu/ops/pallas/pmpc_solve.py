@@ -61,7 +61,7 @@ def _bmat(Sd, v, g, dt):
     return jnp.stack([col0, col1], axis=1)
 
 
-def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
+def _pmpc_kernel(N, n_iters, n_alphas, g, dt, roll_loops,
                  Ad_ref, Sd_ref, w_ref, r_ref, t_ref, z0_ref, V0_ref,
                  lo_ref, hi_ref, V_out, cost_out, gnorm_out):
     Ad = Ad_ref[...]
@@ -175,8 +175,20 @@ def _pmpc_kernel(N, n_iters, n_alphas, g, dt,
 
     done = jnp.zeros_like(rw, dtype=jnp.bool_)
     carry = (Z, V, cost, done, jnp.zeros_like(rw))
-    for _ in range(n_iters):
-        carry = iteration(carry)
+    # Compile-time control (VERDICT r2 next-6): small budgets unroll (the
+    # warm receding-horizon path — keeps its cached program byte-stable);
+    # robust budgets roll the iteration loop with fori_loop so Mosaic
+    # compiles ONE iteration body instead of n_iters copies. Same op
+    # sequence per element either way; results agree to f32 roundoff
+    # (compiler fusion choices may differ between the rolled body and
+    # unrolled copies — gated by tests/test_pmpc_solve_kernel.py).
+    roll = (n_iters > 3) if roll_loops is None else roll_loops
+    if not roll:
+        for _ in range(n_iters):
+            carry = iteration(carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_iters, lambda _, c: iteration(c),
+                                  carry)
     Z, V, cost, done, gnorm = carry
     V_out[...] = V
     cost_out[...] = cost[None]
@@ -196,11 +208,12 @@ def _diag_embed(w):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "n_alphas", "dt",
-                                             "u_bound", "g", "interpret"))
+                                             "u_bound", "g", "interpret",
+                                             "roll_loops"))
 def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
                       dt: float, u_bound: float = 0.6, g: float = -9.81,
                       n_iters: int = 3, n_alphas: int = 4,
-                      interpret: bool = False):
+                      interpret: bool = False, roll_loops=None):
     """Batch-last layout: Ad/Sd (6,6,Bt), wdiag/target/z0 (6,Bt), rw (Bt,),
     V0 (N,2,Bt), Bt % 128 == 0. Returns (V, cost (Bt,), gnorm (Bt,))."""
     N = V0.shape[0]
@@ -218,7 +231,7 @@ def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
     G = Bt // (S * LANES)
 
     kernel = functools.partial(_pmpc_kernel, N, n_iters, n_alphas,
-                               float(g), dt)
+                               float(g), dt, roll_loops)
 
     def fold(x):
         return x.reshape(*x.shape[:-1], G * S, LANES)

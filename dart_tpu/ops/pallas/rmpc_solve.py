@@ -55,7 +55,7 @@ _G = -9.81   # signed, like model.opt.gravity[2] (`rob_ctrl.py:281`)
 
 
 def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
-                 mu_init, mu_scale, mu_max, tol_con,
+                 mu_init, mu_scale, mu_max, tol_con, roll_loops,
                  th_ref, ref_ref, w_ref, z0_ref, V0_ref,
                  V_out, cost_out, viol_out, gnorm_out):
     th = th_ref[...]            # (14, L)
@@ -270,15 +270,27 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
         return (X_best, U_best, V_best, c_best, done_n, gnorm)
 
     # ---- augmented-Lagrangian outer loop (per-lane lam/mu in VMEM) ----
-    lam = jnp.stack([jnp.stack([jnp.zeros_like(Qp)] * 4)] * N)  # (N, 4, L)
-    mu = jnp.full_like(Qp, mu_init)
-    viol = jnp.zeros_like(Qp)
-    for _ in range(al_rounds):
+    # Compile-time control (VERDICT r2 next-6): small budgets unroll (the
+    # warm closed-loop path keeps its cached byte-stable program); robust
+    # budgets roll BOTH loops with fori_loop, so Mosaic compiles one
+    # iteration body + one AL-round body instead of al_rounds*n_iters
+    # copies (the r2 robust budget 6x4x3 compiled 18 copies in ~830 s).
+    # Identical per-element op sequence either way; results agree to f32
+    # roundoff (fusion choices may differ between the rolled body and
+    # unrolled copies — gated by tests/test_rmpc_solve_kernel.py).
+    roll = (n_iters * al_rounds > 4) if roll_loops is None else roll_loops
+
+    def al_round(al_carry):
+        V, lam, mu, _, _ = al_carry
         X, U, cost = rollout_cost(V, lam, mu)
         done = jnp.zeros_like(cost, dtype=jnp.bool_)
         carry = (X, U, V, cost, done, jnp.zeros_like(cost))
-        for _ in range(n_iters):
-            carry = iteration(carry, lam, mu)
+        if roll:
+            carry = jax.lax.fori_loop(
+                0, n_iters, lambda _, c: iteration(c, lam, mu), carry)
+        else:
+            for _ in range(n_iters):
+                carry = iteration(carry, lam, mu)
         X, U, V, cost, _, gnorm = carry
         # PHR multiplier update on the round's final trajectory
         # (`ilqr.solve_batch` al_round; constraints at stages 0..N-1).
@@ -290,6 +302,18 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
             viol = jnp.maximum(viol, jnp.max(jnp.maximum(C, 0.0), axis=0))
         lam = jnp.stack(new_lam)
         mu = jnp.where(viol > tol_con, jnp.minimum(mu * mu_scale, mu_max), mu)
+        return (V, lam, mu, viol, gnorm)
+
+    lam = jnp.stack([jnp.stack([jnp.zeros_like(Qp)] * 4)] * N)  # (N, 4, L)
+    mu = jnp.full_like(Qp, mu_init)
+    al_carry = (V, lam, mu, jnp.zeros_like(Qp), jnp.zeros_like(Qp))
+    if roll:
+        al_carry = jax.lax.fori_loop(0, al_rounds,
+                                     lambda _, c: al_round(c), al_carry)
+    else:
+        for _ in range(al_rounds):
+            al_carry = al_round(al_carry)
+    V, lam, mu, viol, gnorm = al_carry
 
     # Raw (unpenalised) cost of the final iterate.
     raw = jnp.zeros_like(Qp)
@@ -317,14 +341,16 @@ def _rmpc_kernel(N, n_iters, n_alphas, al_rounds, dt, u_b, du_b, vmax, v_eps,
 
 @functools.partial(jax.jit, static_argnames=(
     "dt", "u_bound", "du_bound", "vmax", "v_eps", "n_iters", "n_alphas",
-    "al_rounds", "mu_init", "mu_scale", "mu_max", "tol_con", "interpret"))
+    "al_rounds", "mu_init", "mu_scale", "mu_max", "tol_con", "interpret",
+    "roll_loops"))
 def rmpc_solve_pallas(theta, ref, w, z0, V0, dt: float,
                       u_bound: float = 0.4, du_bound: float = 0.05,
                       vmax: float = 0.25, v_eps: float = 0.1,
                       n_iters: int = 2, n_alphas: int = 3,
                       al_rounds: int = 2, mu_init: float = 10.0,
                       mu_scale: float = 10.0, mu_max: float = 1e8,
-                      tol_con: float = 1e-8, interpret: bool = False):
+                      tol_con: float = 1e-8, interpret: bool = False,
+                      roll_loops=None):
     """Batch-last layout: theta (14,Bt), ref (N+1,4,Bt), w (4,Bt) =
     [Qp,Qv,Ru,Rdu], z0 (6,Bt), V0 (N,2,Bt), Bt % 128 == 0.
     Returns (V (N,2,Bt) du sequence, cost, viol, gnorm (Bt,) each)."""
@@ -343,7 +369,7 @@ def rmpc_solve_pallas(theta, ref, w, z0, V0, dt: float,
 
     kernel = functools.partial(_rmpc_kernel, N, n_iters, n_alphas, al_rounds,
                                dt, u_bound, du_bound, vmax, v_eps,
-                               mu_init, mu_scale, mu_max, tol_con)
+                               mu_init, mu_scale, mu_max, tol_con, roll_loops)
 
     def fold(x):
         return x.reshape(*x.shape[:-1], G * S, LANES)
