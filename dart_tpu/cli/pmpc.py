@@ -75,6 +75,10 @@ def main(argv=None):
                             cfg=mpc_mod.ilqr.ILQRConfig(max_iters=10))
         weights = (mpc_mod.PMPC_WEIGHTS["general"] if args.no_tune
                    else mpc_mod.PMPC_WEIGHTS[args.object_name])
+        # High-friction schedule for sliding shapes (mpc.
+        # pmpc_schedule_weights; sphere handled by the rolling-aware model)
+        weights = jax.tree.map(jnp.asarray, mpc_mod.pmpc_schedule_weights(
+            weights, args.friction, args.object_name != "sphere"))
         params = dyn.PMPCParams(mu=args.friction, dt=dt)
         target6 = jnp.asarray([args.target[0], 0, args.target[1], 0, 0.43, 0],
                               dtype)

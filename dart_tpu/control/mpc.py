@@ -97,6 +97,31 @@ PMPC_WEIGHTS = {
 }
 
 
+def pmpc_schedule_weights(weights: PMPCWeights, mu, sliding,
+                          mu_breakaway: float = 0.15, qp_boost: float = 1.5,
+                          r_cut: float = 0.5) -> PMPCWeights:
+    """High-friction weight schedule (dart_tpu extension over the static
+    `PMPC/main_parallel.py:107-122` table).
+
+    For objects that must SLIDE to move (cube both axes, side-lying
+    cylinder across its roll axis) at mu >= `mu_breakaway`, scale Qp up and
+    R down: near the target the reference table's cost-optimal tilt stays
+    below the stiction breakaway atan(mu) and the closed loop parks
+    10-13 mm short (measured on the reference's own MuJoCo world,
+    artifacts/mujoco/pmpc_grid.json mu=0.2 lanes; with the schedule the
+    cube 2 kg mu=0.2 lane converges in 0.7 s instead of never). The
+    schedule deliberately leaves low-friction lanes untouched so the
+    reference-tuned behaviour there is preserved. `mu`/`sliding` may be
+    traced per-lane values; rolling spheres pass sliding=False (their
+    high-mu handling is the rolling-aware model, `mujoco_bridge.
+    pmpc_solve_fn`)."""
+    boost = jnp.asarray(sliding) & (jnp.asarray(mu) >= mu_breakaway)
+    one = jnp.ones_like(weights.Qp)
+    return PMPCWeights(Qp=weights.Qp * jnp.where(boost, qp_boost, one),
+                       Qv=weights.Qv,
+                       R=weights.R * jnp.where(boost, r_cut, one))
+
+
 class PMPCCarry(NamedTuple):
     V: jnp.ndarray               # (N, 2) warm-start control trajectory
 
@@ -251,6 +276,7 @@ class RMPCCarry(NamedTuple):
     rls_x: RLSState
     rls_y: RLSState
     prev_state: jnp.ndarray      # (4,) for finite-difference acceleration
+    err_int: jnp.ndarray = None  # (2,) anti-stiction integral ref offset
 
 
 class RMPC:
@@ -265,6 +291,9 @@ class RMPC:
                  dr_max: float = 0.01,
                  rg_alpha: float = 0.5, step_fraction: float = 0.2,
                  slew_exact: bool = True,
+                 ki_stiction: float = 0.006, stiction_vstall: float = 0.02,
+                 stiction_deadzone: float = 0.004, int_max: float = 0.08,
+                 stiction_decay: float = 0.98,
                  cfg: ilqr.ILQRConfig = ilqr.ILQRConfig()):
         self.N, self.dt, self.v_eps = N, dt, v_eps
         self.rls_lam, self.dr_max, self.rg_alpha = rls_lam, dr_max, rg_alpha
@@ -272,6 +301,24 @@ class RMPC:
         # for reference-faithful unbounded forgetting.
         self.rls_P_max = rls_P_max
         self.step_fraction = step_fraction
+        # Anti-stiction integral reference offset (dart_tpu extension over
+        # `rob_ctrl.py:346-348`): per axis, while the object is STALLED
+        # (|v| < stiction_vstall) with a residual error beyond the deadzone,
+        # integrate a bounded offset into the governed target so the MPC's
+        # commanded tilt keeps growing until the breakaway tilt atan(mu) is
+        # crossed; the offset leaks away once the object moves or the error
+        # enters the deadzone. With the plain governor the mu=0.2 lanes of
+        # the MuJoCo evaluation grid park 11-21 mm short: near the target
+        # the cost-optimal tilt stays below stiction breakaway, and nothing
+        # in the reference formulation escapes that equilibrium
+        # (README.md:101-105 grid; measured in artifacts/mujoco/rmpc_grid).
+        # ki_stiction = 0.0 recovers the reference-faithful governor
+        # exactly (err_int stays identically zero).
+        self.ki_stiction = ki_stiction
+        self.stiction_vstall = stiction_vstall
+        self.stiction_deadzone = stiction_deadzone
+        self.int_max = int_max
+        self.stiction_decay = stiction_decay
         self.u_bound = u_bound
         self.du_bound = du_bound
         self.vmax = vmax
@@ -296,7 +343,24 @@ class RMPC:
             rls_x=rls_init(7, dtype=dtype),
             rls_y=rls_init(7, dtype=dtype),
             prev_state=state0,
+            err_int=jnp.zeros(2, dtype),
         )
+
+    def _stiction_update(self, err_int, state, target):
+        """One anti-stiction integrator step; returns (err_int', target')
+        with the offset target on the position channels (see __init__)."""
+        pos = jnp.stack([state[0], state[2]])
+        vel = jnp.stack([state[1], state[3]])
+        err = jnp.stack([target[0], target[2]]) - pos
+        stalled = (jnp.abs(vel) < self.stiction_vstall) & \
+            (jnp.abs(err) > self.stiction_deadzone)
+        err_int = jnp.where(stalled, err_int + self.ki_stiction * err,
+                            self.stiction_decay * err_int)
+        err_int = jnp.clip(err_int, -self.int_max, self.int_max)
+        target_aug = target + jnp.stack(
+            [err_int[0], jnp.zeros_like(err_int[0]),
+             err_int[1], jnp.zeros_like(err_int[1])])
+        return err_int, target_aug
 
     def solve(self, carry: RMPCCarry, state: jnp.ndarray, target: jnp.ndarray,
               weights: RMPCWeights = RMPC_DEFAULT_WEIGHTS):
@@ -311,9 +375,12 @@ class RMPC:
                            self.rls_P_max)
         theta = jnp.concatenate([rls_x.theta, rls_y.theta])
 
-        # 2. Reference governor + staged reference trajectory.
-        r_v = reference_governor(carry.r_v, target, self.dr_max, self.rg_alpha)
-        ref = build_ref_traj(r_v, target, self.N, self.step_fraction)
+        # 2. Anti-stiction offset -> reference governor -> staged reference.
+        err_int, target_aug = self._stiction_update(carry.err_int, state,
+                                                    target)
+        r_v = reference_governor(carry.r_v, target_aug, self.dr_max,
+                                 self.rg_alpha)
+        ref = build_ref_traj(r_v, target_aug, self.N, self.step_fraction)
 
         # 3. Solve with u_prev in the augmented initial state.
         params = dyn.RMPCParams(theta=theta, v_eps=self.v_eps)
@@ -326,7 +393,7 @@ class RMPC:
         else:
             u = sol.V[0]
         new_carry = RMPCCarry(V=_shift(sol.V), u_prev=u, r_v=r_v, rls_x=rls_x,
-                              rls_y=rls_y, prev_state=state)
+                              rls_y=rls_y, prev_state=state, err_int=err_int)
         return new_carry, u, _diag(sol)
 
 
@@ -393,12 +460,15 @@ class RMPCBatch(RMPC):
             rls_y = rls_update(carry.rls_y, phi, ay, self.rls_lam,
                                self.rls_P_max)
             theta = jnp.concatenate([rls_x.theta, rls_y.theta])
-            r_v = reference_governor(carry.r_v, target, self.dr_max,
+            err_int, target_aug = self._stiction_update(carry.err_int, state,
+                                                        target)
+            r_v = reference_governor(carry.r_v, target_aug, self.dr_max,
                                      self.rg_alpha)
-            ref = build_ref_traj(r_v, target, self.N, self.step_fraction)
-            return rls_x, rls_y, theta, r_v, ref
+            ref = build_ref_traj(r_v, target_aug, self.N, self.step_fraction)
+            return rls_x, rls_y, theta, r_v, ref, err_int
 
-        rls_x, rls_y, theta, r_v, refs = jax.vmap(pre)(carry, states, targets)
+        rls_x, rls_y, theta, r_v, refs, err_int = jax.vmap(pre)(
+            carry, states, targets)
         params = dyn.RMPCParams(theta=theta,
                                 g=jnp.full(B, dyn.GRAVITY_Z, states.dtype),
                                 v_eps=jnp.full(B, self.v_eps, states.dtype))
@@ -490,7 +560,8 @@ class RMPCBatch(RMPC):
             u = sol.V[:, 0]
         V_next = jnp.concatenate([sol.V[:, 1:], sol.V[:, -1:]], axis=1)
         new_carry = RMPCCarry(V=V_next, u_prev=u, r_v=r_v, rls_x=rls_x,
-                              rls_y=rls_y, prev_state=states)
+                              rls_y=rls_y, prev_state=states,
+                              err_int=err_int)
         return new_carry, u, _diag(sol)
 
 

@@ -197,6 +197,31 @@ def _pmpc_kernel(N, n_iters, n_alphas, g, dt, roll_loops,
     gnorm_out[...] = gnorm[None]
 
 
+def flops_per_solve(N: int = 15, n_iters: int = 2, n_alphas: int = 3) -> int:
+    """Analytic f32 FLOP count of ONE whole-solve kernel lane (one PMPC
+    solve), for MFU accounting (VERDICT r3 next-2).
+
+    Counts the algebra of `_pmpc_kernel` as useful work, with shared
+    subexpressions (the Vxx@Ad product appears in both Qxx and Qux) counted
+    once and transcendentals (sin/cos/tanh) counted as 1 FLOP each — i.e. a
+    deliberate UNDERcount, so the reported MFU is a floor. Breakdown per
+    lane:
+
+      rollout stage   ~149 = _mv 6x6 (66) + _drive (~50) + stage cost (~27)
+                        + state add (6)
+      backward stage ~2286 = _bmat 60, lx/lu 16, Qx 72, Qu 24,
+                        Vxx@Ad 396 (shared), Qxx 438, Qux 144, Quu 184,
+                        boxqp2 enumeration ~355, gains ~83, gnorm 2,
+                        Vx update ~80, Vxx update ~432
+      forward/alpha   ~191/stage = control law+clip 40, stage cost 29,
+                        dynamics 122; +~80/alpha acceptance masking
+    """
+    rollout = 149 * N + 23
+    backward = 2286 * N
+    forward = n_alphas * (191 * N + 80)
+    return rollout + n_iters * (backward + forward + 10)
+
+
 def _diag_embed(w):
     """(6, L) -> (6, 6, L) diagonal embedding (no constant-array capture)."""
     n = w.shape[0]

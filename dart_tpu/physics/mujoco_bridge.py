@@ -103,7 +103,18 @@ def make_world(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
         raise ValueError(shape)
     geom.mass = mass
     geom.friction = fric
+    # The reference rewrites the anonymous top-level <default> geom friction
+    # ("UPDATE FRICTION HERE", `rob_ctrl.py:140-143`), which governs the tray
+    # and floor. MjSpec resolves default attributes onto geoms at parse time,
+    # so mutating spec.default post-load is a no-op — set every class-"main"
+    # geom explicitly instead (same set the reference's rewrite touches).
+    # Without this the tray stays at 0.1 and the effective contact friction
+    # (elementwise max of the pair) floors at 0.1, silently turning the
+    # mu=0.05 column into a second mu=0.1 column.
     spec.default.geom.friction = fric
+    for g in spec.geoms:
+        if g.classname is not None and g.classname.name == "main":
+            g.friction = fric
 
     # Object start pose in the home keyframe (keyframe layout:
     # `world_general.xml:173` — object free joint is the last 7 qpos).
@@ -296,6 +307,12 @@ def pmpc_solve_fn(shape: str = "cube", mu: float = 0.1, N: int = 15,
     ctlr = mpc_mod.PMPC(N=N, dt=dt,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
     weights = mpc_mod.PMPC_WEIGHTS.get(shape, mpc_mod.PMPC_WEIGHTS["general"])
+    # High-friction schedule for sliding objects (see
+    # `mpc.pmpc_schedule_weights`): without it the mu=0.2 cube/cylinder
+    # lanes of the MuJoCo grid park 10-13 mm short of the 1 cm gate.
+    weights = jax.tree.map(
+        jnp.asarray,
+        mpc_mod.pmpc_schedule_weights(weights, mu, shape != "sphere"))
     if rolling_aware and shape == "sphere" and mu >= 0.15:
         params = dyn.PMPCParams(mu=jnp.asarray(0.0, jnp.float64),
                                 g=(5.0 / 7.0) * dyn.GRAVITY_Z, dt=dt)

@@ -25,15 +25,21 @@ class PMPCScenarioResult(NamedTuple):
     final_p: jnp.ndarray
 
 
-def _select_weights(shape_id, dtype):
-    """Per-object weight tables (`PMPC/main_parallel.py:107-135`)."""
+def _select_weights(shape_id, dtype, mu=None):
+    """Per-object weight tables (`PMPC/main_parallel.py:107-135`), with the
+    high-friction schedule for sliding shapes when `mu` is supplied
+    (`mpc.pmpc_schedule_weights`; sphere excluded — its high-mu handling is
+    the rolling-aware model)."""
     tab = jnp.asarray([
         [600.0, 5.0, 0.1],    # cube
         [400.0, 2.5, 0.2],    # cylinder
         [200.0, 2.0, 0.2],    # sphere
     ], dtype)
     row = tab[shape_id]
-    return mpc_mod.PMPCWeights(Qp=row[0], Qv=row[1], R=row[2])
+    w = mpc_mod.PMPCWeights(Qp=row[0], Qv=row[1], R=row[2])
+    if mu is not None:
+        w = mpc_mod.pmpc_schedule_weights(w, mu, shape_id != 2)
+    return w
 
 
 def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
@@ -71,7 +77,7 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
         # needed — select by kappa signature (cube (0,0), cyl (2,0), sph).
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
                              jnp.where(shape_kappa_inv[0] > 0, 1, 0))
-        weights = _select_weights(shape_id, dtype)
+        weights = _select_weights(shape_id, dtype, mu=model_mu)
         target6 = jnp.asarray(
             [target_xy[0], 0.0, target_xy[1], 0.0, 0.43, 0.0], dtype)
 
@@ -141,7 +147,7 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
         params = dyn.PMPCParams(mu=mu, dt=dt)
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
                              jnp.where(shape_kappa_inv[0] > 0, 1, 0))
-        w = _select_weights(shape_id, dtype)
+        w = _select_weights(shape_id, dtype, mu=mu)
         from dart_tpu.solver.ocp import PMPCAux
         aux = PMPCAux(target=jnp.asarray(
             [target_xy[0], 0.0, target_xy[1], 0.0, 0.43, 0.0], dtype),
@@ -433,7 +439,8 @@ def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
         params = dyn.PMPCParams(mu=model_mu, dt=dt)
         shape_id = jnp.where(shape_kappa_inv[:, 1] > 0, 2,
                              jnp.where(shape_kappa_inv[:, 0] > 0, 1, 0))
-        weights = jax.vmap(lambda s: _select_weights(s, dtype))(shape_id)
+        weights = jax.vmap(
+            lambda s, m: _select_weights(s, dtype, mu=m))(shape_id, model_mu)
         zero = jnp.zeros((B,), dtype)
         target6 = jnp.stack([target_xy[:, 0], zero, target_xy[:, 1], zero,
                              jnp.full((B,), 0.43, dtype), zero], axis=-1)
