@@ -53,8 +53,13 @@ def main(argv=None):
                                            make_rmpc_evaluator)
 
     from dart_tpu.physics import tray_object as to_mod
-    tray_lag = (to_mod.LEGACY_TRAY_LAG if args.tray_lag == "legacy"
-                else to_mod.CALIBRATED_TRAY_LAG)
+    # None = the evaluators' fully-calibrated default (CALIBRATED_TRAY_LAG
+    # + per-shape contact dissipation). Passing the lag TUPLE explicitly
+    # would silently zero roll_resist/slide_damp (`_tray_params` only
+    # applies the fitted dissipation on the default path) — the r3
+    # "calibrated" sweep artifacts were generated with that foot-gun and
+    # thus under-damped; r4 artifacts use the true calibrated plant.
+    tray_lag = to_mod.LEGACY_TRAY_LAG if args.tray_lag == "legacy" else None
     targets = tuple(tuple(float(x) for x in t.split(",")) for t in args.targets)
     dt = 0.002
     n_steps = int(args.runtime / dt)

@@ -52,8 +52,12 @@ def make_preset_params(name: str, mu: float = 0.3,
     m0, hx, hy, hcom, kx, ky, tx, ty = PRESETS[name]
     a = lambda x: jnp.asarray(x, dtype)
     rolls = kx > 0 or ky > 0
+    m_eff = mass if mass is not None else m0
     if calibrated:
-        omega_n, zeta, lag_fast = CALIBRATED_TRAY_LAG
+        # r4: payload-mass-interpolated lag (the arm stack slows with the
+        # carried mass; see tray_object.calibrated_lag).
+        from dart_tpu.physics.tray_object import calibrated_lag
+        omega_n, zeta, lag_fast = calibrated_lag(m_eff, dtype)
         rr = CALIBRATED_ROLL_RESIST["sphere" if ky > 0 else "cylinder"] \
             if rolls else 0.0
         sd = 0.0 if rolls else CALIBRATED_SLIDE_DAMP["cube"]

@@ -271,12 +271,14 @@ def make_rmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
 def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
     """Scenario row -> TrayObjectParams (vmappable). `tray_lag` is an
     optional (omega_n, zeta[, fast_frac]) tuple — scalars or per-axis
-    (2,) tuples. Default (None) = `to_mod.CALIBRATED_TRAY_LAG` plus the
-    per-shape MuJoCo-fitted contact dissipation (r3 re-baseline); pass
+    (2,) tuples. Default (None) = the payload-mass-interpolated
+    `to_mod.calibrated_lag(mass)` (r4: the arm stack's realised tilt
+    response measurably depends on the carried mass) plus the per-shape
+    MuJoCo-fitted contact dissipation (r3 re-baseline); pass
     `to_mod.LEGACY_TRAY_LAG` to reproduce r1/r2 artifacts (optimistic
     lag, no dissipation — docs/PERFORMANCE.md)."""
     calibrated = tray_lag is None
-    lag = to_mod.CALIBRATED_TRAY_LAG if calibrated else tray_lag
+    lag = to_mod.calibrated_lag(mass, dtype) if calibrated else tray_lag
     omega_n, zeta = lag[0], lag[1]
     lag_fast = lag[2] if len(lag) > 2 else 0.0
     if calibrated:

@@ -224,3 +224,83 @@ def test_closed_loop_metrics_match_mujoco(traces):
         final_err = err[-1]
         assert abs(final_err - mj_final_err) < 0.015, \
             (key, final_err, mj_final_err)
+
+
+# ---------------------------------------------------------------------------
+# r4 payload-mass-resolved lag (VERDICT r3 next-3)
+# ---------------------------------------------------------------------------
+
+NPZ_BY_MASS = os.path.join(os.path.dirname(NPZ),
+                           "tray_object_calibration_by_mass.npz")
+
+
+@pytest.fixture(scope="module")
+def mass_traces():
+    if not os.path.exists(NPZ_BY_MASS):
+        pytest.skip("by-mass calibration artifact missing; run "
+                    "tools/calibrate_tray_object.py --by_mass")
+    return np.load(NPZ_BY_MASS)
+
+
+def test_calibrated_lag_interpolates_mass():
+    """The plant's default lag is payload-mass-resolved: endpoint masses
+    reproduce the fitted tables, midpoints interpolate, out-of-range
+    clamps, and the 1 kg vs 2 kg responses genuinely differ (the MuJoCo
+    arm stack realises ~15% less tilt at 2 kg)."""
+    lo = to_mod.CALIBRATED_TRAY_LAG_BY_MASS[1.0]
+    hi = to_mod.CALIBRATED_TRAY_LAG_BY_MASS[2.0]
+    for m, ref in ((1.0, lo), (2.0, hi), (0.5, lo), (3.0, hi)):
+        got = to_mod.calibrated_lag(m, jnp.float64)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), r, rtol=1e-6)
+    mid = to_mod.calibrated_lag(1.5, jnp.float64)
+    for g, a, b in zip(mid, lo, hi):
+        np.testing.assert_allclose(np.asarray(g),
+                                   0.5 * (np.asarray(a) + np.asarray(b)),
+                                   rtol=1e-6)
+    # the masses must not collapse to one response
+    assert abs(lo[0][0] - hi[0][0]) / lo[0][0] > 0.05
+
+
+def test_lag_by_mass_replay(mass_traces):
+    """Replaying the recorded 0.1 rad pulse through the mass-resolved lag
+    matches each mass's OWN recorded tray tilt, and each mass's fit is at
+    least as good on its own traces as the other mass's fit (the split
+    captures real signal, not noise)."""
+    u = jnp.asarray(mass_traces["u_cmd"], jnp.float64)
+
+    def sim_x(mass_for_lag):
+        w, z, f = to_mod.calibrated_lag(mass_for_lag, jnp.float64)
+
+        def step(c, uk):
+            x1, x2, th, _ = to_mod.lag_step(c[0], c[1], uk[0], w[0], z[0],
+                                            0.002, f[0])
+            return (x1, x2), th
+
+        _, th = jax.lax.scan(step, (jnp.float64(0), jnp.float64(0)), u)
+        return np.asarray(th)
+
+    for mass in (1.0, 2.0):
+        th_own = sim_x(mass)
+        th_other = sim_x(3.0 - mass)
+        own = other = 0.0
+        for shape in ("cube", "cylinder", "sphere"):
+            rec = np.asarray(mass_traces[f"m{mass}_pulse_{shape}_theta"])
+            own += np.mean((th_own - rec[:, 0]) ** 2)
+            other += np.mean((th_other - rec[:, 0]) ** 2)
+        own = np.sqrt(own / 3)
+        other = np.sqrt(other / 3)
+        assert own < 0.02, (mass, own)
+        assert own < other * 1.05, (mass, own, other)
+
+
+def test_evaluator_rows_differ_by_mass():
+    """The '18-config' calibrated sweep is 18 real configs again: the
+    default-plant params for a 1 kg and a 2 kg scenario differ in their
+    tray response (VERDICT r3: 9/9 mass-pairs were byte-identical)."""
+    from dart_tpu.rollout.evaluate import _tray_params
+    k = jnp.zeros(2, jnp.float32)
+    p1 = _tray_params(k, jnp.float32(1.0), jnp.float32(0.1), jnp.float32)
+    p2 = _tray_params(k, jnp.float32(2.0), jnp.float32(0.1), jnp.float32)
+    assert not np.allclose(np.asarray(p1.omega_n), np.asarray(p2.omega_n))
+    assert not np.allclose(np.asarray(p1.zeta), np.asarray(p2.zeta))

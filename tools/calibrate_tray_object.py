@@ -102,13 +102,13 @@ def mj_episode(shape, mass, mu, u_fn, n_steps):
 
 
 def mj_closed_loop_episode(shape, mu, n_steps=5000, control_every=5,
-                           target=(0.05, -0.04)):
+                           target=(0.05, -0.04), mass=1.0):
     """PMPC closed loop on the MuJoCo world (as `mujoco_bridge.
     run_closed_loop` but recording commanded u, realised tilt, object
     tray-frame path every step, never stopping early)."""
     import mujoco
 
-    model, data = MB.make_world(shape, mass=1.0, mu=mu)
+    model, data = MB.make_world(shape, mass=mass, mu=mu)
     solve, carry, obs_fn = MB.pmpc_solve_fn(shape=shape, mu=mu)
     idx = MB.index_world(model)
     torque_fn = MB.make_torque_fn(dt=DT)
@@ -233,6 +233,53 @@ def fit_dissipation(cl_traces):
     return out
 
 
+def main_by_mass():
+    """r4 payload-mass sweep (VERDICT r3 next-3): the arm stack's tilt
+    response measurably depends on the payload mass (the impedance arms
+    carry tray + object; a 2 kg payload realises ~10% less tilt over a
+    0.7 s pulse than 1 kg). Record pulse + closed-loop episodes at BOTH
+    grid masses and fit the 2-pole+zero lag per mass; the plant
+    interpolates (`tray_object.calibrated_lag(mass)`)."""
+    MASSES = (1.0, 2.0)
+    PULSES = [("cube", 0.1), ("cylinder", 0.1), ("sphere", 0.05)]
+    CLS = [("cylinder", 0.1), ("sphere", 0.05), ("cube", 0.05)]
+    pulse = lambda k: np.array([0.10, 0.0]) if 50 <= k < 400 else np.zeros(2)
+    u_pulse = np.stack([pulse(k) for k in range(700)])
+    traces, fits = {}, {}
+    for mass in MASSES:
+        pulse_pairs, cl_pairs = [], []
+        for shape, mu in PULSES:
+            th, ps = mj_episode(shape, mass, mu, pulse, 700)
+            traces[f"m{mass}_pulse_{shape}_theta"] = th
+            pulse_pairs.append((u_pulse, th))
+            print(f"[calibrate/by-mass] pulse {shape} m={mass}: "
+                  f"mean tilt {th[50:400, 0].mean():.5f}", flush=True)
+        for shape, mu in CLS:
+            u, th, p = mj_closed_loop_episode(shape, mu, mass=mass)
+            traces[f"m{mass}_cl_{shape}_u"] = u
+            traces[f"m{mass}_cl_{shape}_theta"] = th
+            traces[f"m{mass}_cl_{shape}_p"] = p
+            cl_pairs.append((u, th))
+            print(f"[calibrate/by-mass] closed-loop {shape} m={mass}: "
+                  f"final p=({p[-1, 0]:+.4f},{p[-1, 1]:+.4f})", flush=True)
+        wx, zx, fx, rx = fit_lag_axis(cl_pairs + pulse_pairs, 0)
+        wy, zy, fy, ry = fit_lag_axis(cl_pairs, 1)
+        fits[mass] = {"omega_n": (round(wx, 3), round(wy, 3)),
+                      "zeta": (round(zx, 3), round(zy, 3)),
+                      "fast": (round(fx, 4), round(fy, 4)),
+                      "rms": (round(rx, 5), round(ry, 5))}
+        print(f"[calibrate/by-mass] m={mass}: {json.dumps(fits[mass])}",
+              flush=True)
+    np.savez("artifacts/mujoco/tray_object_calibration_by_mass.npz",
+             u_cmd=u_pulse, fit=json.dumps({str(m): fits[m] for m in MASSES}),
+             **traces)
+    print("[calibrate/by-mass] paste into tray_object.py "
+          "CALIBRATED_TRAY_LAG_BY_MASS:")
+    for m in MASSES:
+        f = fits[m]
+        print(f"  {m}: ({f['omega_n']}, {f['zeta']}, {f['fast']}),")
+
+
 def main():
     traces = {}
 
@@ -290,4 +337,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--by_mass" in sys.argv:
+        main_by_mass()
+    else:
+        main()
