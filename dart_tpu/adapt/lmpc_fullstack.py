@@ -53,14 +53,27 @@ class FSEnvState(NamedTuple):
 
 
 def sample_obj_params(rng, dtype=jnp.float32) -> to_mod.TrayObjectParams:
-    """Randomise shape/mass/friction over the 18-config envelope."""
+    """Randomise shape/mass/friction over the 18-config envelope.
+
+    r4: carries the MuJoCo-calibrated per-shape contact dissipation
+    (CALIBRATED_ROLL_RESIST / CALIBRATED_SLIDE_DAMP) so the policy trains
+    on the same contact physics the calibrated evaluation plant applies
+    (VERDICT r3 next-9: the r3 checkpoint predated the re-baseline and
+    evaluated 9.2 mm mean settled SSE on a plant it never saw). The lag
+    fields are inert here — the full stack realises tray tilt through the
+    simulated arms, `rollout.full_stack.step`."""
     k1, k2, k3 = jax.random.split(rng, 3)
     kappa_table = jnp.asarray([[0.0, 0.0], [2.0, 0.0], [2.5, 2.5]], dtype)
     topple_table = jnp.asarray([[1.0, 1.0], [0.0, 1.0], [0.0, 0.0]], dtype)
+    rr_tab = jnp.asarray([to_mod.CALIBRATED_ROLL_RESIST[s]
+                          for s in to_mod.SHAPES], dtype)
+    sd_tab = jnp.asarray([to_mod.CALIBRATED_SLIDE_DAMP[s]
+                          for s in to_mod.SHAPES], dtype)
     shape = jax.random.randint(k1, (), 0, 3)
+    mu = jax.random.choice(k3, jnp.asarray([0.05, 0.1, 0.2], dtype))
     return to_mod.TrayObjectParams(
         mass=jax.random.choice(k2, jnp.asarray([1.0, 2.0, 3.0], dtype)),
-        mu=jax.random.choice(k3, jnp.asarray([0.05, 0.1, 0.2], dtype)),
+        mu=mu,
         kappa_inv=kappa_table[shape],
         slip_eps=jnp.asarray(2e-3, dtype),
         omega_n=jnp.asarray(40.0, dtype),
@@ -68,7 +81,9 @@ def sample_obj_params(rng, dtype=jnp.float32) -> to_mod.TrayObjectParams:
         tray_pos=jnp.asarray([0.0, 0.0, 0.4], dtype),
         half_w=jnp.asarray([0.025, 0.025], dtype),
         h_com=jnp.asarray(0.025, dtype),
-        topple_on=topple_table[shape])
+        topple_on=topple_table[shape],
+        roll_resist=rr_tab[shape],
+        slide_damp=to_mod.calibrated_slide_damp(sd_tab[shape], mu, dtype))
 
 
 def env_init(rng, ctlr: mpc_mod.LMPC, cfg: FSEnvConfig) -> FSEnvState:

@@ -60,7 +60,9 @@ def make_preset_params(name: str, mu: float = 0.3,
         omega_n, zeta, lag_fast = calibrated_lag(m_eff, dtype)
         rr = CALIBRATED_ROLL_RESIST["sphere" if ky > 0 else "cylinder"] \
             if rolls else 0.0
-        sd = 0.0 if rolls else CALIBRATED_SLIDE_DAMP["cube"]
+        from dart_tpu.physics.tray_object import calibrated_slide_damp
+        sd = 0.0 if rolls else calibrated_slide_damp(
+            CALIBRATED_SLIDE_DAMP["cube"], mu, dtype)
     else:
         omega_n, zeta, lag_fast = LEGACY_TRAY_LAG + (0.0,)
         rr, sd = 0.0, 0.0

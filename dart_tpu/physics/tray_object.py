@@ -105,6 +105,25 @@ LEGACY_TRAY_LAG = (40.0, 1.0)
 # 203 mm -> 27 mm; sphere rr: 36 mm -> 34 mm (already near-faithful).
 CALIBRATED_ROLL_RESIST = {"cube": 0.0, "cylinder": 0.0118, "sphere": 0.0089}
 CALIBRATED_SLIDE_DAMP = {"cube": 2.736, "cylinder": 0.0, "sphere": 0.0}
+# r4: the cube tangential damping is a LOW-friction phenomenon. The r3
+# value was fitted on the mu=0.05 closed-loop episode and applied flat;
+# a replay refit on recorded cube mu=0.2 episodes (tools/
+# calibrate_tray_object.py --cube_mu, both grid masses, artifact
+# tray_object_calibration_cube_mu02.npz) lands at slide_damp ~ 0.002 —
+# at mu=0.2 Coulomb friction already supplies the dissipation MuJoCo
+# shows, and keeping the flat 2.736 makes the plant far stickier than
+# mj_step (PMPC converges in 0.7 s on MuJoCo, parks 16-18 mm out on the
+# r3 plant). `calibrated_slide_damp` fades linearly between the two
+# fitted anchors.
+CALIBRATED_SLIDE_DAMP_MU_ANCHORS = (0.05, 0.2)
+
+
+def calibrated_slide_damp(base, mu, dtype=jnp.float32):
+    """mu-resolved tangential damping: `base` (the mu=0.05 fit) faded
+    linearly to ~0 at mu=0.2 (the refit anchor), clamped outside."""
+    lo, hi = CALIBRATED_SLIDE_DAMP_MU_ANCHORS
+    fade = jnp.clip((hi - jnp.asarray(mu, dtype)) / (hi - lo), 0.0, 1.0)
+    return jnp.asarray(base, dtype) * fade
 # Per-axis inverse rolling factors kappa_inv = 1/kappa (see module docstring).
 _KAPPA_INV = {
     "cube": (0.0, 0.0),
@@ -162,7 +181,8 @@ def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
     if calibrated:
         omega_n, zeta, lag_fast = calibrated_lag(mass, dtype)
         roll_resist = CALIBRATED_ROLL_RESIST[shape]
-        slide_damp = CALIBRATED_SLIDE_DAMP[shape]
+        slide_damp = calibrated_slide_damp(CALIBRATED_SLIDE_DAMP[shape],
+                                           mu, dtype)
     half = size / 2.0
     return TrayObjectParams(
         mass=a(mass), mu=a(mu), kappa_inv=a(_KAPPA_INV[shape]),

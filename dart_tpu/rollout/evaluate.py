@@ -29,7 +29,15 @@ def _select_weights(shape_id, dtype, mu=None):
     """Per-object weight tables (`PMPC/main_parallel.py:107-135`), with the
     high-friction schedule for sliding shapes when `mu` is supplied
     (`mpc.pmpc_schedule_weights`; sphere excluded — its high-mu handling is
-    the rolling-aware model)."""
+    the rolling-aware model).
+
+    The schedule is applied on the MUJOCO bridge path only (where it was
+    tuned and measured: cube/cylinder mu=0.2 lanes 3.8-22 s -> 0.6-0.8 s,
+    `artifacts/mujoco/pmpc_grid.json`). On the calibrated LAG plant the
+    same gain-up saws through the slow tray response and parks the cube
+    16-18 mm out, while the reference-faithful weights converge in 15-21 s
+    — inside the reference's own published 10-30 s high-friction band
+    (`PMPC/README.md:265`) — so the plant evaluators pass mu=None here."""
     tab = jnp.asarray([
         [600.0, 5.0, 0.1],    # cube
         [400.0, 2.5, 0.2],    # cylinder
@@ -77,7 +85,7 @@ def make_pmpc_evaluator(n_steps: int = 2500, dt: float = 0.002,
         # needed — select by kappa signature (cube (0,0), cyl (2,0), sph).
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
                              jnp.where(shape_kappa_inv[0] > 0, 1, 0))
-        weights = _select_weights(shape_id, dtype, mu=model_mu)
+        weights = _select_weights(shape_id, dtype)   # lag plant: no schedule
         target6 = jnp.asarray(
             [target_xy[0], 0.0, target_xy[1], 0.0, 0.43, 0.0], dtype)
 
@@ -147,7 +155,7 @@ def make_mppi_evaluator(n_steps: int = 2500, dt: float = 0.002,
         params = dyn.PMPCParams(mu=mu, dt=dt)
         shape_id = jnp.where(shape_kappa_inv[1] > 0, 2,
                              jnp.where(shape_kappa_inv[0] > 0, 1, 0))
-        w = _select_weights(shape_id, dtype, mu=mu)
+        w = _select_weights(shape_id, dtype)         # lag plant: no schedule
         from dart_tpu.solver.ocp import PMPCAux
         aux = PMPCAux(target=jnp.asarray(
             [target_xy[0], 0.0, target_xy[1], 0.0, 0.43, 0.0], dtype),
@@ -290,7 +298,9 @@ def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
                               for s in to_mod.SHAPES], dtype)
         sd_tab = jnp.asarray([to_mod.CALIBRATED_SLIDE_DAMP[s]
                               for s in to_mod.SHAPES], dtype)
-        roll_resist, slide_damp = rr_tab[shape_id], sd_tab[shape_id]
+        roll_resist = rr_tab[shape_id]
+        slide_damp = to_mod.calibrated_slide_damp(sd_tab[shape_id], mu,
+                                                  dtype)
     else:
         roll_resist = jnp.asarray(0.0, dtype)
         slide_damp = jnp.asarray(0.0, dtype)
@@ -442,7 +452,7 @@ def make_pmpc_batch_evaluator(n_steps: int = 2500, dt: float = 0.002,
         shape_id = jnp.where(shape_kappa_inv[:, 1] > 0, 2,
                              jnp.where(shape_kappa_inv[:, 0] > 0, 1, 0))
         weights = jax.vmap(
-            lambda s, m: _select_weights(s, dtype, mu=m))(shape_id, model_mu)
+            lambda s, m: _select_weights(s, dtype))(shape_id, model_mu)
         zero = jnp.zeros((B,), dtype)
         target6 = jnp.stack([target_xy[:, 0], zero, target_xy[:, 1], zero,
                              jnp.full((B,), 0.43, dtype), zero], axis=-1)

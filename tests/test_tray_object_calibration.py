@@ -304,3 +304,61 @@ def test_evaluator_rows_differ_by_mass():
     p2 = _tray_params(k, jnp.float32(2.0), jnp.float32(0.1), jnp.float32)
     assert not np.allclose(np.asarray(p1.omega_n), np.asarray(p2.omega_n))
     assert not np.allclose(np.asarray(p1.zeta), np.asarray(p2.zeta))
+
+
+NPZ_CUBE_MU = os.path.join(os.path.dirname(NPZ),
+                           "tray_object_calibration_cube_mu02.npz")
+
+
+def test_cube_slide_damp_fades_with_mu():
+    """r4: the fitted cube tangential damping is a low-friction
+    phenomenon — full at the mu=0.05 anchor, ~zero at the mu=0.2 refit
+    anchor (replaying the recorded cube mu=0.2 closed-loop episodes shows
+    the r3 flat 2.736 adds nothing over ~0 there), linear between."""
+    base = to_mod.CALIBRATED_SLIDE_DAMP["cube"]
+    sd = lambda mu: float(to_mod.calibrated_slide_damp(base, mu,
+                                                       jnp.float64))
+    assert abs(sd(0.05) - base) < 1e-9
+    assert sd(0.2) == 0.0
+    assert abs(sd(0.125) - base / 2) < 1e-6
+    assert abs(sd(0.01) - base) < 1e-9      # clamped
+    # the calibrated plant picks it up end to end
+    p_lo = to_mod.make_params("cube", 1.0, 0.05, calibrated=True,
+                              dtype=jnp.float64)
+    p_hi = to_mod.make_params("cube", 1.0, 0.2, calibrated=True,
+                              dtype=jnp.float64)
+    assert float(p_lo.slide_damp) > 2.0 and float(p_hi.slide_damp) == 0.0
+
+
+def test_cube_mu02_replay_not_stickier_than_mujoco():
+    """Replaying the recorded mu=0.2 realised tilt through the calibrated
+    cube model must track the recorded MuJoCo object path at least as
+    well as the r3 flat-damping model did (the flat damping made the
+    plant stickier than mj_step at high friction)."""
+    if not os.path.exists(NPZ_CUBE_MU):
+        pytest.skip("cube mu=0.2 calibration artifact missing; run "
+                    "tools/calibrate_tray_object.py --cube_mu")
+    d = np.load(NPZ_CUBE_MU)
+    for mass in (1.0, 2.0):
+        th = np.asarray(d[f"m{mass}_cl_cube_mu02_theta"])
+        p_mj = np.asarray(d[f"m{mass}_cl_cube_mu02_p"])
+        thd = np.gradient(th, 0.002, axis=0)
+        params = to_mod.make_params("cube", mass, 0.2, calibrated=True,
+                                    dtype=jnp.float64)
+
+        def replay(pp):
+            def f(s, x):
+                t, td = x
+                s = to_mod.step_object(s, t, td, pp, 0.002)
+                return s, s.p
+
+            _, ps = jax.lax.scan(f, to_mod.init_state(dtype=jnp.float64),
+                                 (jnp.asarray(th), jnp.asarray(thd)))
+            return np.asarray(ps)
+
+        rms = np.sqrt(np.mean((replay(params) - p_mj) ** 2))
+        flat = params._replace(slide_damp=jnp.float64(
+            to_mod.CALIBRATED_SLIDE_DAMP["cube"]))
+        rms_flat = np.sqrt(np.mean((replay(flat) - p_mj) ** 2))
+        assert rms <= rms_flat * 1.05, (mass, rms, rms_flat)
+        assert rms < 0.06, (mass, rms)

@@ -94,7 +94,21 @@ def measure_dcn(per_dev, n_steps):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)   # 1 device per process
-    procs = [subprocess.Popen([sys.executable, script, str(pid)],
+    # r4 (VERDICT r3 next-8): pin each process to its own core. Without
+    # affinity both processes size their XLA-CPU intra-op pools to nproc,
+    # so 2 processes x nproc threads thrash the same cores — that alone
+    # was the r3 DCN gap (65% of the single-process 2-device rate).
+    ncores = os.cpu_count() or 1
+    have_taskset = subprocess.run(["which", "taskset"],
+                                  capture_output=True).returncode == 0
+
+    def argv_for(pid):
+        base = [sys.executable, script, str(pid)]
+        if have_taskset and ncores >= 2:
+            return ["taskset", "-c", str(pid % ncores)] + base
+        return base
+
+    procs = [subprocess.Popen(argv_for(pid),
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, env=env, text=True)
              for pid in range(2)]
@@ -115,8 +129,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (env vars are too late here); pair with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=8")
-    ap.add_argument("--out", default="artifacts/scaling_r3.json")
+    ap.add_argument("--out", default="artifacts/scaling_r4.json")
     ap.add_argument("--skip_dcn", action="store_true")
+    ap.add_argument("--all_devices", action="store_true",
+                    help="also time device counts > nproc (core-bound "
+                         "points: oversubscription diagnostics, NOT "
+                         "scaling evidence; the committed curve excludes "
+                         "them — VERDICT r3 next-8)")
     args = ap.parse_args()
     import jax
     if args.cpu:
@@ -132,10 +151,14 @@ def main():
                              warmup_steps=100, max_iters=4)
     rng = np.random.default_rng(0)
 
-    # 1. weak scaling
+    # 1. weak scaling — only device counts with a physical core each are
+    # committed as scaling evidence (beyond nproc the virtual devices
+    # time-share cores and the numbers measure oversubscription).
+    ncap = n_total if args.all_devices else min(n_total,
+                                                os.cpu_count() or 1)
     weak = []
     base_rate = None
-    for n in [k for k in (1, 2, 4, 8, 16, 32) if k <= n_total]:
+    for n in [k for k in (1, 2, 4, 8, 16, 32) if k <= ncap]:
         batch = scenes.random_scenarios(rng, PER_DEV * n, dtype=jnp.float32)
         mesh = sweep_mod.make_mesh(n)
         sweep_mod.run_sweep(ev, batch, mesh)      # compile
@@ -173,16 +196,23 @@ def main():
     dcn = None
     if not args.skip_dcn:
         dcn = measure_dcn(PER_DEV, N_STEPS)
+        ref = next((w for w in weak if w["devices"] == 2), None)
+        if ref is not None:
+            dcn["efficiency_vs_singleproc_2dev"] = round(
+                dcn["episodes_per_s"] / ref["episodes_per_s"], 3)
         print(json.dumps(dcn), flush=True)
 
     out = {
         "platform": jax.default_backend(),
         "nproc": os.cpu_count(),
-        "note": ("virtual CPU devices share nproc cores: the weak-scaling "
-                 "curve is core-bound beyond nproc devices; the collective "
-                 "census is the device-count-independent evidence "
-                 "(aggregate-only collectives => per-episode ICI/DCN "
-                 "traffic is zero)"),
+        "note": ("weak-scaling curve limited to device counts <= nproc "
+                 "(each virtual device gets a physical core; beyond that "
+                 "the numbers measure core oversubscription, not the "
+                 "design — r3 committed those points, r4 drops them); "
+                 "the collective census is the device-count-independent "
+                 "evidence (aggregate-only collectives => per-episode "
+                 "ICI/DCN traffic is zero); DCN processes are core-pinned "
+                 "via taskset"),
         "episode_steps": N_STEPS, "episodes_per_device": PER_DEV,
         "weak_scaling": weak, "collective_census": census,
         "dcn_2process": dcn,

@@ -280,6 +280,51 @@ def main_by_mass():
         print(f"  {m}: ({f['omega_n']}, {f['zeta']}, {f['fast']}),")
 
 
+def main_cube_mu():
+    """r4: mu-resolved cube tangential damping. The r3 slide_damp was
+    fitted on the single mu=0.05 closed-loop episode and applied to every
+    cube lane; at mu=0.2 Coulomb friction already supplies most of the
+    dissipation MuJoCo exhibits, and the flat extra damping makes the
+    calibrated plant far stickier than mj_step (PMPC converges there in
+    0.7 s on MuJoCo but parks 16-18 mm out on the plant). Record cube
+    mu=0.2 closed-loop episodes (both grid masses, with the production
+    high-mu weight schedule in the loop) and replay-fit slide_damp on
+    those traces alone."""
+    cl, pairs = {}, []
+    for mass in (1.0, 2.0):
+        u, th, p = mj_closed_loop_episode("cube", 0.2, mass=mass)
+        cl[("cube", mass, 0.2)] = (u, th, p)
+        print(f"[calibrate/cube-mu] cl cube m={mass} mu=0.2: final "
+              f"p=({p[-1, 0]:+.4f},{p[-1, 1]:+.4f})", flush=True)
+
+    def rms_for(bd):
+        tot = 0.0
+        for (shp, mass, mu), (u, th, p) in cl.items():
+            thd = np.gradient(th, DT, axis=0)
+            params = to_mod.make_params(shp, mass, mu,
+                                        dtype=jnp.float64)._replace(
+                slide_damp=jnp.float64(bd))
+            ps = np.asarray(_replay_object(params, jnp.asarray(th),
+                                           jnp.asarray(thd)))
+            tot += np.mean((ps - p) ** 2)
+        return np.sqrt(tot / len(cl))
+
+    r = minimize_scalar(lambda x: rms_for(np.exp(x)), bounds=(-6, 3),
+                        method="bounded")
+    bd = float(np.exp(r.x))
+    print(f"[calibrate/cube-mu] cube mu=0.2 slide_damp={bd:.4f} "
+          f"(replay rms {rms_for(0.0) * 1e3:.1f} -> {r.fun * 1e3:.1f} mm; "
+          f"r3 flat value {to_mod.CALIBRATED_SLIDE_DAMP['cube']} gives "
+          f"{rms_for(to_mod.CALIBRATED_SLIDE_DAMP['cube']) * 1e3:.1f} mm)")
+    np.savez("artifacts/mujoco/tray_object_calibration_cube_mu02.npz",
+             **{f"m{m}_cl_cube_mu02_{n}": v
+                for (s, m, mu), tr in cl.items()
+                for n, v in zip(("u", "theta", "p"), tr)},
+             slide_damp_mu02=bd)
+    print("[calibrate/cube-mu] wrote "
+          "artifacts/mujoco/tray_object_calibration_cube_mu02.npz")
+
+
 def main():
     traces = {}
 
@@ -339,5 +384,7 @@ def main():
 if __name__ == "__main__":
     if "--by_mass" in sys.argv:
         main_by_mass()
+    elif "--cube_mu" in sys.argv:
+        main_cube_mu()
     else:
         main()
