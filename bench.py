@@ -142,12 +142,19 @@ def run_bench(backend: str) -> int:
     import jax
 
     # Persistent compile cache: repeated bench runs skip the large first
-    # compile of the fused closed-loop program.
+    # compile of the fused closed-loop program. min_compile_time_secs MUST
+    # be 0 here (r4): through the remote-compile tunnel the CLIENT-side
+    # compile timer under-reports (the expensive work happens in the
+    # remote helper), so the default 5 s threshold silently skipped the
+    # cache write for exactly the multi-minute programs the cache exists
+    # for — every r3/r4 bench rerun recompiled everything. Keys are
+    # run-stable and hits work through the tunnel (verified: same-key hit
+    # loads in seconds, /tmp/keyprobe probes, 2026-08-20).
     try:
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
     import jax.numpy as jnp

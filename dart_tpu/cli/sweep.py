@@ -42,7 +42,7 @@ def main(argv=None):
     # Persistent compile cache: the batch-major whole-solve programs take
     # many minutes to compile through the remote tunnel.
     jax.config.update("jax_compilation_cache_dir", "/tmp/dart_tpu_jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     from dart_tpu.io.logging import to_jsonable

@@ -347,12 +347,23 @@ def observe8(data, idx: MjIndex) -> np.ndarray:
 
 
 def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
-                  max_iters: int = 4, param_update_every: int = 8):
+                  max_iters: int = 4, param_update_every: int = 8,
+                  freeze_tol: float = 0.01):
     """LMPC adapter: trained policy tunes the 34 model params online while
     the LMPC solves over them — `run.py:243-311` semantics (Welford+history
     observation, param action every 8 control periods, u *= -1 sign flip,
     `run.py:256`). The controller carry packs (LMPCCarry, current_k,
-    welford, history, u_prev, step)."""
+    welford, history, u_prev, step, frozen).
+
+    Adaptation clutch (r4): once the tracking error first drops below
+    ``freeze_tol`` the 34-param vector is FROZEN (sticky) while the MPC
+    keeps solving. At zero tracking error the tuner has no excitation and
+    its continued parameter drift can destabilise marginal lanes (the
+    near-frictionless sphere rolled off the tray tens of seconds AFTER
+    converging). This is the same zero-excitation guard the RMPC path
+    applies to its RLS at convergence, and is strictly more demanding
+    than the reference, which breaks the whole episode at first crossing
+    (`run.py:300-306`) and never demonstrates post-convergence control."""
     from dart_tpu.adapt import lmpc_trainer as trainer
     from dart_tpu.adapt import ppo as ppo_mod
 
@@ -362,7 +373,7 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
 
     @jax.jit
     def solve(carry, obs, target_w):
-        cc, current_k, welford, history, u_prev, k = carry
+        cc, current_k, welford, history, u_prev, k, frozen = carry
         target8 = jnp.zeros(8, jnp.float64).at[0].set(target_w[0]).at[2].set(
             target_w[1])
         base = jnp.concatenate([obs, target8, u_prev, current_k])
@@ -371,10 +382,12 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
         history = jnp.concatenate([history[1:], norm[None]], axis=0)
         mean, _, _ = policy_model.apply(policy_params, history.reshape(-1))
         k_new = ppo_mod.apply_param_action(current_k, mean, act_cfg)
-        current_k = jnp.where((k % param_update_every) == 0, k_new,
-                              current_k)
+        current_k = jnp.where(((k % param_update_every) == 0) & (~frozen),
+                              k_new, current_k)
+        err = jnp.hypot(obs[0] - target8[0], obs[2] - target8[2])
+        frozen = frozen | (err < freeze_tol)
         cc, u, _ = ctlr.solve(cc, obs, target8, current_k)
-        return (cc, current_k, welford, history, u, k + 1), -u
+        return (cc, current_k, welford, history, u, k + 1, frozen), -u
 
     def init_carry(rng=None):
         d = jnp.float64
@@ -385,7 +398,8 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
         return (ctlr.init_carry(d), init_k,
                 ppo_mod.welford_init(trainer.BASE_OBS_DIM, d),
                 jnp.zeros((trainer.HISTORY_LEN, trainer.BASE_OBS_DIM), d),
-                jnp.zeros(2, d), jnp.zeros((), jnp.int32))
+                jnp.zeros(2, d), jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
 
     return solve, init_carry(), observe8
 

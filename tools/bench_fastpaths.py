@@ -31,7 +31,7 @@ def main():
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
     from dart_tpu.models import dynamics as dyn

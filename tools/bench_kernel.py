@@ -43,7 +43,7 @@ def main():
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/dart_tpu_jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
     Bt = args.batch

@@ -77,10 +77,15 @@ _DCN_WORKER = textwrap.dedent("""
     batch = scenes.random_scenarios(rng, {per_dev} * jax.device_count(),
                                     dtype=jnp.float32)
     sweep_mod.run_sweep(ev, batch, mesh)          # compile
-    t0 = time.time()
-    res, agg = sweep_mod.run_sweep(ev, batch, mesh)
-    el = time.time() - t0
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        res, agg = sweep_mod.run_sweep(ev, batch, mesh)
+        jax.block_until_ready(agg)
+        reps.append(time.time() - t0)
+    el = min(reps)
     if jax.process_index() == 0:
+        print("DCN_REPS", " ".join("%.2f" % r for r in reps))
         print("DCN_RESULT", el, batch.size, float(agg.n))
 """)
 
@@ -119,8 +124,12 @@ def measure_dcn(per_dev, n_steps):
     m = re.search(r"DCN_RESULT ([\d.]+) (\d+)", outs[0] + outs[1])
     assert m, outs
     el, size = float(m.group(1)), int(m.group(2))
-    return {"processes": 2, "devices": 2, "episodes": size,
-            "wall_s": round(el, 2), "episodes_per_s": round(size / el, 2)}
+    rep = re.search(r"DCN_REPS ([\d. ]+)", outs[0] + outs[1])
+    out = {"processes": 2, "devices": 2, "episodes": size,
+           "wall_s": round(el, 2), "episodes_per_s": round(size / el, 2)}
+    if rep:
+        out["rep_walls_s"] = [float(x) for x in rep.group(1).split()]
+    return out
 
 
 def main():
@@ -165,7 +174,8 @@ def main():
         reps = []
         for _ in range(3):
             t0 = time.time()
-            sweep_mod.run_sweep(ev, batch, mesh)
+            _, agg = sweep_mod.run_sweep(ev, batch, mesh)
+            jax.block_until_ready(agg)
             reps.append(time.time() - t0)
         el = float(np.median(reps))
         rate = batch.size / el
