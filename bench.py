@@ -27,7 +27,7 @@ backend-init failure produced an empty round artifact. This bench therefore
 NEVER lets an environment failure swallow the JSON line:
 
   * the TPU backend is probed in a SUBPROCESS with retry + backoff
-    (deadline `DART_BENCH_PROBE_DEADLINE`, default 240 s) before the main
+    (deadline `DART_BENCH_PROBE_DEADLINE`, default 480 s) before the main
     process ever touches a device — a dead tunnel cannot poison us;
   * if the TPU stays unreachable, the bench runs the identical methodology
     on the CPU backend at reduced batch and reports `"backend": "cpu"`
@@ -150,10 +150,12 @@ def run_bench(backend: str) -> int:
     # for — every r3/r4 bench rerun recompiled everything. Keys are
     # run-stable and hits work through the tunnel (verified: same-key hit
     # loads in seconds, /tmp/keyprobe probes, 2026-08-20).
+    # The cache lives in /tmp, NOT the repo: the workspace reset at round
+    # start deletes untracked repo files, which forced the driver's
+    # round-end bench to a ~9 min cold compile; /tmp survives resets.
     try:
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/dart_tpu_bench_jaxcache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
@@ -399,7 +401,7 @@ def main():
     threading.Thread(target=_watchdog_thread, args=(deadline,),
                      daemon=True).start()
 
-    probe_deadline = float(os.environ.get("DART_BENCH_PROBE_DEADLINE", "300"))
+    probe_deadline = float(os.environ.get("DART_BENCH_PROBE_DEADLINE", "480"))
     want_cpu = os.environ.get("DART_BENCH_FORCE_CPU", "") == "1"
     backend = "cpu"
     if not want_cpu and probe_tpu(probe_deadline):
