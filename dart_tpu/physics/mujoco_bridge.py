@@ -387,6 +387,10 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
         err = jnp.hypot(obs[0] - target8[0], obs[2] - target8[2])
         frozen = frozen | (err < freeze_tol)
         cc, u, _ = ctlr.solve(cc, obs, target8, current_k)
+        # (A flatten-the-tray hysteresis hold was tried here in r4 and
+        # REJECTED: rolling objects leave the hold band still moving and
+        # the re-engaging frozen-model control kicks them — measured
+        # strictly worse than continuous control on both plants.)
         return (cc, current_k, welford, history, u, k + 1, frozen), -u
 
     def init_carry(rng=None):

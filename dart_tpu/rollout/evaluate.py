@@ -322,7 +322,7 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
                         max_iters: int = 4, tol: float = 0.01,
                         param_update_every: int = 8,
                         u_sign: float = -1.0, trace: bool = False,
-                        tray_lag=None):
+                        tray_lag=None, hold_after_convergence: bool = False):
     """LMPC scenario evaluator on the CONTACT PLANT with the trained policy
     tuning the 34 model parameters online — the closed-loop analogue of
     `LMPC/src/run.py:243-311` with the plant swapped from MuJoCo to
@@ -340,6 +340,13 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
     Returns `evaluate(shape_kappa_inv, mass, mu, target_xy, rng)` —
     vmappable; `rng` seeds the policy's parameter-vector initialisation
     (mid-range jittered, `rlmpc2.py:618-623`).
+
+    ``hold_after_convergence=True`` (r4) switches from the reference's
+    stop-at-first-crossing protocol to the SETTLED protocol: only the
+    param adaptation freezes at the first tolerance crossing (the
+    zero-excitation clutch) while control keeps running, so the recorded
+    SSE is the genuine post-convergence hold instead of being clamped at
+    the tolerance by the freeze.
     """
     from dart_tpu.adapt import lmpc_trainer as trainer
     from dart_tpu.adapt import ppo as ppo_mod
@@ -378,24 +385,49 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
             history = jnp.concatenate([history[1:], norm[None]], axis=0)
             mean, _, _ = model.apply(policy_params, history.reshape(-1))
             do_upd = (k % param_update_every) == 0
+            # `stopped` (sticky first tolerance crossing) always gates the
+            # param-vector updates — the zero-excitation adaptation clutch
+            # (see mujoco_bridge.lmpc_solve_fn).
             k_new = ppo_mod.apply_param_action(current_k, mean, act_cfg)
             current_k = jnp.where(do_upd & (~stopped), k_new, current_k)
 
             cc_new, u, _ = ctlr.solve(cc, x, target8, current_k)
-            cc = jax.tree.map(
-                lambda a, b: jnp.where(stopped, a, b), cc, cc_new)
-            u = jnp.where(stopped, u_prev, u)
             warm = k * control_every >= warmup_steps
-            u_apply = jnp.where(warm & (~stopped),
-                                jnp.asarray(u_sign, dtype) * u,
-                                jnp.where(stopped, u_sign * u_prev,
-                                          jnp.zeros_like(u)))
-            s_next = substep(s, u_apply)
-            err = jnp.sqrt((s_next.p[0] - target_xy[0]) ** 2
-                           + (s_next.p[1] - target_xy[1]) ** 2)
+            if hold_after_convergence:
+                # SETTLED protocol: control keeps running past the first
+                # crossing (only adaptation freezes); metrics measure the
+                # genuine post-convergence hold. Measured r4 result on
+                # the calibrated plant: cubes hold at 0.16-0.49 mm (well
+                # inside the reference's 1-5 mm band), but the frozen
+                # 34-param model is uncalibrated in the zero-error
+                # ROLLING regime and cylinders/spheres drift off-tray
+                # under continued control (PMPC's analytic model holds
+                # the same rollers fine; MuJoCo ground truth with the
+                # same clutch holds every lane to 9-26 mm — see
+                # docs/PARITY.md). A flatten-the-tray hysteresis hold
+                # was tried and REJECTED: rollers exit the band still
+                # moving and the re-engaging frozen-model control kicks
+                # them — strictly worse on both plants.
+                cc = cc_new
+                u_apply = jnp.where(warm, jnp.asarray(u_sign, dtype) * u,
+                                    jnp.zeros_like(u))
+                s_keep = substep(s, u_apply)
+            else:
+                # Reference protocol: freeze everything at first crossing
+                # (`run.py:300-306` breaks the episode there).
+                cc = jax.tree.map(
+                    lambda a, b: jnp.where(stopped, a, b), cc, cc_new)
+                u = jnp.where(stopped, u_prev, u)
+                u_apply = jnp.where(warm & (~stopped),
+                                    jnp.asarray(u_sign, dtype) * u,
+                                    jnp.where(stopped, u_sign * u_prev,
+                                              jnp.zeros_like(u)))
+                s_next = substep(s, u_apply)
+                s_keep = jax.tree.map(
+                    lambda a, b: jnp.where(stopped, a, b), s, s_next)
+            err = jnp.sqrt((s_keep.p[0] - target_xy[0]) ** 2
+                           + (s_keep.p[1] - target_xy[1]) ** 2)
             stopped_n = stopped | (warm & (err < tol))
-            s_keep = jax.tree.map(
-                lambda a, b: jnp.where(stopped, a, b), s, s_next)
             return (cc, s_keep, current_k, welford, history, u, stopped_n), \
                 (s_keep.p, u_apply)
 
