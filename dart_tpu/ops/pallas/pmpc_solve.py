@@ -297,6 +297,29 @@ def _diag_embed(w):
     return jnp.stack(rows)
 
 
+def structure_residual(Ad, Sd, dt):
+    """Per-lane max abs deviation of dense (6,6,L) Ad/Sd from the sparsity
+    the kernel assumes (ADVICE r4). Exactly 0 for operators produced by
+    `pmpc_fast._affine_discretization` (the x/y blocks are the same
+    polynomial of the same mu, so they match bitwise); any other nonzero
+    entry, or x/y-block asymmetry (e.g. a future per-axis mu), shows up
+    here instead of being silently dropped by the 7-free-entry read."""
+    a, b, g5 = Ad[0, 1], Ad[1, 1], Ad[5, 5]
+    s01, s11, s44, s55 = Sd[0, 1], Sd[1, 1], Sd[4, 4], Sd[5, 5]
+    o = jnp.ones_like(a)
+    EAd = jnp.zeros_like(Ad)
+    for (i, j), v in (((0, 0), o), ((2, 2), o), ((4, 4), o), ((0, 1), a),
+                      ((2, 3), a), ((1, 1), b), ((3, 3), b), ((5, 5), g5)):
+        EAd = EAd.at[i, j].set(v)
+    ESd = jnp.zeros_like(Sd)
+    for (i, j), v in (((0, 0), dt * o), ((2, 2), dt * o), ((0, 1), s01),
+                      ((2, 3), s01), ((1, 1), s11), ((3, 3), s11),
+                      ((4, 4), s44), ((5, 5), s55)):
+        ESd = ESd.at[i, j].set(v)
+    return jnp.maximum(jnp.max(jnp.abs(Ad - EAd), axis=(0, 1)),
+                       jnp.max(jnp.abs(Sd - ESd), axis=(0, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "n_alphas", "dt",
                                              "u_bound", "g", "interpret",
                                              "roll_loops"))
@@ -337,6 +360,12 @@ def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
     # Sd = dt-diagonal + the same pattern.
     ad3 = jnp.stack([Ad[0, 1], Ad[1, 1], Ad[5, 5]])
     sd4 = jnp.stack([Sd[0, 1], Sd[1, 1], Sd[4, 4], Sd[5, 5]])
+    # Structure guard (ADVICE r4): inputs outside the implied sparsity
+    # would otherwise be silently mis-solved. A violating lane gets its
+    # certificates poisoned to +inf below — every downstream consumer
+    # (self-escalation, per-lane XLA rescue, CI gates) treats that as
+    # "uncertified" loudly. Cost: one 36xBt elementwise pass.
+    bad_structure = structure_residual(Ad, Sd, dt) > 1e-6
 
     V, cost, gnorm = pl.pallas_call(
         kernel,
@@ -350,4 +379,7 @@ def pmpc_solve_pallas(Ad, Sd, wdiag, rw, target, z0, V0,
                    jax.ShapeDtypeStruct((1, G * S, LANES), dtype)],
         interpret=interpret,
     )(*map(fold, (ad3, sd4, wdiag, rw2, target, z0, V0, lo, hi)))
-    return V.reshape(N, 2, Bt), cost.reshape(Bt), gnorm.reshape(Bt)
+    inf = jnp.asarray(jnp.inf, dtype)
+    cost = jnp.where(bad_structure, inf, cost.reshape(Bt))
+    gnorm = jnp.where(bad_structure, inf, gnorm.reshape(Bt))
+    return V.reshape(N, 2, Bt), cost, gnorm

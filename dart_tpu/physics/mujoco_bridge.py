@@ -382,10 +382,14 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
         history = jnp.concatenate([history[1:], norm[None]], axis=0)
         mean, _, _ = policy_model.apply(policy_params, history.reshape(-1))
         k_new = ppo_mod.apply_param_action(current_k, mean, act_cfg)
-        current_k = jnp.where(((k % param_update_every) == 0) & (~frozen),
-                              k_new, current_k)
+        # Freeze BEFORE the current-step gating (ADVICE r4): if the error
+        # has already crossed freeze_tol by this solve, no further param
+        # update lands — "frozen at first crossing" exactly, mirroring
+        # evaluate.py's stopped-gating order.
         err = jnp.hypot(obs[0] - target8[0], obs[2] - target8[2])
         frozen = frozen | (err < freeze_tol)
+        current_k = jnp.where(((k % param_update_every) == 0) & (~frozen),
+                              k_new, current_k)
         cc, u, _ = ctlr.solve(cc, obs, target8, current_k)
         # (A flatten-the-tray hysteresis hold was tried here in r4 and
         # REJECTED: rolling objects leave the hold band still moving and

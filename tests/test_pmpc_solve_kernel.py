@@ -44,6 +44,46 @@ def test_whole_solve_kernel_matches_fast_solver():
     assert np.all(np.abs(np.asarray(V_p)) <= 0.6 + 1e-6)
 
 
+def test_structure_guard_poisons_unstructured_inputs():
+    """`pmpc_solve_pallas` reads only 7 free entries of the dense (6,6,L)
+    Ad/Sd (ADVICE r4): production operators must pass the structure check
+    with residual exactly 0, while a lane violating the implied sparsity
+    (e.g. per-axis mu making Ad[0,1] != Ad[2,3]) must come back with its
+    cost/gnorm certificates poisoned to +inf instead of a silent
+    mis-solve."""
+    from dart_tpu.ops.pallas.pmpc_solve import structure_residual
+
+    B, N = 128, 8
+    rng = np.random.default_rng(2)
+    mus = jnp.asarray(rng.uniform(0.05, 0.2, B), jnp.float32)
+    tgts = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 6)) *
+                       np.array([1, 0, 1, 0, 0, 0]), jnp.float32)
+    z0 = jnp.asarray(rng.normal(size=(B, 6)) * 0.02, jnp.float32)
+    V0 = jnp.zeros((B, N, 2), jnp.float32)
+    aux = PMPCAux(target=tgts, Qp=jnp.full(B, 300.0, jnp.float32),
+                  Qv=jnp.full(B, 2.0, jnp.float32),
+                  R=jnp.full(B, 0.2, jnp.float32))
+    Ad, Sd = pmpc_fast._affine_discretization(mus, -9.81, DT)
+    tl = lambda x: jnp.moveaxis(jnp.asarray(x), 0, -1)
+    # 1. production operators: residual is exactly zero on every lane
+    resid = structure_residual(tl(Ad), tl(Sd), DT)
+    assert float(jnp.max(resid)) == 0.0
+
+    # 2. violate the structure on lane 0 only: cross-coupling entry the
+    # kernel never reads
+    Ad_bad = jnp.asarray(Ad).at[0, 0, 3].set(0.01)
+    wdiag = (np.asarray(aux.Qp)[:, None] * np.array([1, 0, 1, 0, 0, 0]) +
+             np.asarray(aux.Qv)[:, None] * np.array([0, 1, 0, 1, 0, 0])
+             ).astype(np.float32)
+    _, cost, gnorm = pmpc_solve_pallas(
+        tl(Ad_bad), tl(Sd), tl(wdiag), aux.R, tl(tgts), tl(z0), tl(V0),
+        dt=DT, n_iters=1, n_alphas=2, interpret=True)
+    assert not bool(jnp.isfinite(cost[0])), cost[0]
+    assert not bool(jnp.isfinite(gnorm[0]))
+    assert bool(jnp.all(jnp.isfinite(cost[1:])))   # clean lanes unaffected
+    assert bool(jnp.all(jnp.isfinite(gnorm[1:])))
+
+
 def test_kernel_escalation_recovers_starved_budget():
     """The anti-silent-divergence loop (PMPCBatch kernel path, interpreter
     mode): a deliberately starved 1-iter x 1-alpha budget leaves lanes

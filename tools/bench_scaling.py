@@ -83,7 +83,9 @@ _DCN_WORKER = textwrap.dedent("""
         res, agg = sweep_mod.run_sweep(ev, batch, mesh)
         jax.block_until_ready(agg)
         reps.append(time.time() - t0)
-    el = min(reps)
+    # Median, matching the single-process weak-scaling statistic exactly
+    # (ADVICE r4: min-vs-median mixing biased the committed efficiency up).
+    el = sorted(reps)[1]
     if jax.process_index() == 0:
         print("DCN_REPS", " ".join("%.2f" % r for r in reps))
         print("DCN_RESULT", el, batch.size, float(agg.n))
