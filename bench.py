@@ -12,38 +12,50 @@ to the XLA structure-exploiting path if the kernel is unavailable.
 
 HONEST TIERING (VERDICT r1 weak-4): the headline `value` is the WARM
 receding-horizon rate at the 2-iter x 3-alpha kernel budget — the budget
-the closed-loop evaluators actually run warm — while `value_converged`
-re-times the identical loop at the robust 6x4 budget, with the final
-solve's projected-gradient norm printed as the convergence certificate.
-The same JSON line carries the closed-loop QUALITY gate (success@1cm over
-the full scenario batch after a 2.4 s episode), so the throughput number
-can never silently decouple from solve quality. `vs_baseline` divides by
-the reference's fully-converged ~100 Hz IPOPT rate; read it against
-`value_converged` for the strict apples-to-apples multiple.
+the closed-loop evaluators actually run warm — `value_adaptive` re-times
+the production PMPCBatch front-end (warm budget + self-escalation), and
+`value_converged` re-times the identical loop at the robust 6-Newton-iter
+budget with the final solve's projected-gradient norm printed as the
+convergence certificate. The same JSON line carries the closed-loop
+QUALITY gate (success@1cm over the full scenario batch after a 2.4 s
+episode), so the throughput number can never silently decouple from solve
+quality. `vs_baseline` divides by the reference's fully-converged ~100 Hz
+IPOPT rate; read it against `value_converged` for the strict
+apples-to-apples multiple.
 
-RESILIENCE (VERDICT r2 weak-1 / next-1): the TPU here lives behind a
-remote tunnel that can be transiently unavailable, and in round 2 a single
-backend-init failure produced an empty round artifact. This bench therefore
-NEVER lets an environment failure swallow the JSON line:
+ACQUISITION ARCHITECTURE (VERDICT r4 next-1: the r4 driver artifact was a
+CPU fallback because a serial 480 s probe window missed the tunnel).
+`python bench.py` is now an ORCHESTRATOR that treats TPU capture as the
+product:
 
-  * the TPU backend is probed in a SUBPROCESS with retry + backoff
-    (deadline `DART_BENCH_PROBE_DEADLINE`, default 480 s) before the main
-    process ever touches a device — a dead tunnel cannot poison us;
-  * if the TPU stays unreachable, the bench runs the identical methodology
-    on the CPU backend at reduced batch and reports `"backend": "cpu"`
-    honestly instead of dying;
-  * a watchdog thread (deadline `DART_BENCH_DEADLINE`, default 1500 s)
-    emits whatever tiers have completed (plus the stage it was stuck in)
-    and exits 0 rather than hanging silently;
-  * a heartbeat line goes to stderr every 20 s so a capture harness can
-    see liveness.
+  * a CPU fallback bench starts IMMEDIATELY in a subprocess — its JSON
+    line is banked as insurance, costing the TPU path nothing;
+  * the TPU tunnel is probed continuously, in parallel, for nearly the
+    whole watchdog window (not a fixed 480 s slice) under the
+    cross-process tunnel lock (`dart_tpu.utils.tpu_lock` — the tunnel is
+    single-tenant; a stray TPU process is the other measured failure
+    mode);
+  * the moment a probe round-trips, the real bench runs on TPU in its own
+    subprocess with whatever budget remains; its line wins over the
+    banked CPU line;
+  * the watchdog guarantees ONE JSON line is printed before the deadline
+    no matter what died, honestly labelled `backend: cpu|tpu`.
+
+TIER STATISTICS (VERDICT r4 next-2: run5 measured adaptive 2x above its
+own warm tier): every tier is timed with >=4 salted reps on TPU (median +
+recorded spread), the T-vs-16T slope cancels the ~25-30 ms dispatch round
+trip, and a monotonicity check (adaptive <= warm, converged <= adaptive —
+each later budget is a strict superset of work) re-times on violation and
+clamps-with-flag if an inversion survives: a physically impossible tier
+ordering cannot be shipped silently.
 
 Pre-warm the persistent compile cache with `python tools/bench_prewarm.py`.
 
 Prints ONE JSON line:
   {"metric": "pmpc_solves_per_sec_per_chip", "value": ..., "unit": "solves/s",
-   "vs_baseline": ..., "backend": "tpu"|"cpu", "value_converged": ...,
-   "pg_max_converged": ..., "quality_success_at_1cm": ..., ...}
+   "vs_baseline": ..., "backend": "tpu"|"cpu", "value_adaptive": ...,
+   "value_converged": ..., "pg_max_converged": ...,
+   "quality_success_at_1cm": ..., ...}
 """
 
 import json
@@ -57,6 +69,7 @@ import numpy as np
 
 BASELINE_HZ = 100.0          # reference IPOPT rate (`PMPC/README.md:266`)
 HEARTBEAT_EVERY_S = 20.0
+INNER_ENV = "DART_BENCH_INNER"           # "cpu" | "tpu": run the bench itself
 
 _t0 = time.time()
 _progress = {"stage": "start"}
@@ -96,47 +109,9 @@ def _heartbeat_thread():
         _note(f"heartbeat stage={_progress['stage']}")
 
 
-def _watchdog_thread(deadline_s):
-    if _emitted.wait(deadline_s):
-        return
-    _note(f"WATCHDOG fired in stage={_progress['stage']} — emitting partial")
-    _emit(watchdog_timeout_stage=_progress["stage"],
-          watchdog_deadline_s=deadline_s)
-    os._exit(0)  # honest partial line beats a hung capture
-
-
-def probe_tpu(deadline_s: float) -> bool:
-    """Probe the tunnelled TPU backend in a subprocess with retry/backoff.
-
-    A failed in-process backend init is sticky and can abort later work;
-    the subprocess isolates that. Returns True only after a real device op
-    round-trips.
-    """
-    code = ("import jax, jax.numpy as jnp; "
-            "x = jnp.arange(8.0); "
-            "print(float(x.sum()), jax.default_backend())")
-    t_end = time.time() + deadline_s
-    attempt = 0
-    while time.time() < t_end:
-        attempt += 1
-        _progress["stage"] = f"probe_tpu_attempt_{attempt}"
-        budget = max(20.0, min(120.0, t_end - time.time()))
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True,
-                               timeout=budget)
-            if r.returncode == 0 and ("axon" in r.stdout
-                                      or "tpu" in r.stdout):
-                _note(f"TPU probe ok on attempt {attempt}")
-                return True
-            _note(f"TPU probe attempt {attempt} rc={r.returncode}: "
-                  f"{(r.stderr or '').strip().splitlines()[-1:]}")
-        except subprocess.TimeoutExpired:
-            _note(f"TPU probe attempt {attempt} timed out after {budget:.0f}s")
-        time.sleep(min(15.0, max(0.0, t_end - time.time())))
-    _note("TPU unreachable within probe deadline — falling back to CPU")
-    return False
-
+# ---------------------------------------------------------------------------
+# Inner bench: the actual measurement, run with a fixed backend.
+# ---------------------------------------------------------------------------
 
 def run_bench(backend: str) -> int:
     import jax
@@ -147,12 +122,8 @@ def run_bench(backend: str) -> int:
     # compile timer under-reports (the expensive work happens in the
     # remote helper), so the default 5 s threshold silently skipped the
     # cache write for exactly the multi-minute programs the cache exists
-    # for — every r3/r4 bench rerun recompiled everything. Keys are
-    # run-stable and hits work through the tunnel (verified: same-key hit
-    # loads in seconds, /tmp/keyprobe probes, 2026-08-20).
-    # The cache lives in /tmp, NOT the repo: the workspace reset at round
-    # start deletes untracked repo files, which forced the driver's
-    # round-end bench to a ~9 min cold compile; /tmp survives resets.
+    # for. The cache lives in /tmp, NOT the repo: the workspace reset at
+    # round start deletes untracked repo files; /tmp survives resets.
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/dart_tpu_bench_jaxcache")
@@ -171,7 +142,18 @@ def run_bench(backend: str) -> int:
     # Scenario batch per chip; the CPU fallback shrinks it so the honest
     # number still lands within the watchdog budget.
     B = 4096 if on_tpu else 512
-    T = 50         # closed-loop steps (solves) per scenario
+    T = 50         # closed-loop steps (solves) in the short timing loop
+    smoke = os.environ.get("DART_BENCH_SMOKE", "") == "1"
+    if smoke:      # plumbing test only: tiny shapes, never quotable
+        B, T = 128, 10
+        _results["smoke"] = True
+    # Long-loop multiplier: the slope is taken over (LONG-1)*T steps. On
+    # TPU the per-dispatch tunnel round trip (~25-30 ms, jittery) is the
+    # dominant noise, so the span must dwarf it: 15*50 steps * 4096 lanes
+    # ~ 3.1M solves ~ 57 ms of pure compute at 54M/s. On CPU compute is
+    # slow enough that the r4 span already dwarfs dispatch.
+    LONG = 16 if on_tpu else 4
+    REPS = 4 if on_tpu else 2
 
     rng = np.random.default_rng(0)
     targets = jnp.asarray(
@@ -232,52 +214,69 @@ def run_bench(backend: str) -> int:
     # repeated dispatches can be cached, and `block_until_ready` is not a
     # trustworthy sync point. So: (a) fresh (salted) initial states, (b)
     # every timed dispatch ends in a HOST FETCH, (c) the reported number is
-    # the SLOPE between a T-step and a 4T-step rollout, cancelling the
-    # ~25-30 ms dispatch round trip and any constant overhead.
+    # the SLOPE between a T-step and a LONG*T-step rollout, cancelling the
+    # dispatch round trip and any constant overhead.
     salt = float(np.frombuffer(os.urandom(2), np.uint16)[0]) / 65536.0
     x0 = jnp.zeros((B, 6), jnp.float32) + 1e-3 * salt
     carry0 = jnp.zeros((B, N, 2), jnp.float32)
 
-    def timed(loop, x):
-        """Min wall time over salted reps; checksums must be finite.
-        Distinct salted inputs should give distinct results — identical
-        checksums smell like an elided/deduped dispatch, but two converged
-        closed loops CAN legitimately land on equal float32 sums, so this
-        is a recorded warning, not a failure (ADVICE r2)."""
-        best, checks = None, []
-        for r in range(2):
+    def timed(loop, x, reps):
+        """MEDIAN wall time over `reps` salted dispatches (VERDICT r4
+        next-2: min-of-2 was unstable to the point of tier inversions);
+        checksums must be finite. Distinct salted inputs should give
+        distinct results — identical checksums smell like an elided/
+        deduped dispatch, but two converged closed loops CAN legitimately
+        land on equal float32 sums, so that is a recorded warning, not a
+        failure (ADVICE r2). Returns (median_s, times list)."""
+        times, checks = [], []
+        for r in range(reps):
             t0 = time.time()
             xf, Vf, U = loop(x + 1e-4 * (r + 1), carry0)
             checksum = float(jnp.sum(xf))        # host fetch = sync
-            dt_r = time.time() - t0
-            best = dt_r if best is None else min(best, dt_r)
+            times.append(time.time() - t0)
             checks.append(checksum)
         assert all(np.isfinite(c) for c in checks), checks
         if len(set(checks)) != len(checks):
             _results["warning_identical_checksums"] = checks
-        return best, checks[-1]
+        return float(np.median(times)), times
 
-    def slope_rate(solver, label):
-        """Solves/s from the T-vs-4T slope (cancels dispatch overhead)."""
-        _progress["stage"] = f"compile_{label}"
-        loop1 = make_loop(solver, T)
-        loop4 = make_loop(solver, 4 * T)
-        xf, Vf, U = loop1(x0, carry0)
-        float(jnp.sum(xf))                       # compile + first exec
-        if not bool(jnp.all(jnp.isfinite(U))):
-            raise FloatingPointError("non-finite controls")
-        _progress["stage"] = f"time_{label}"
-        t1, _ = timed(loop1, x0)
-        xf4, Vf4, U4 = loop4(x0, carry0)         # compile 4T variant
-        float(jnp.sum(xf4))
-        t4, _ = timed(loop4, x0)
-        elapsed = max((t4 - t1) / (3 * T), 1e-9)
-        return B / elapsed
+    class Tier:
+        """A timing tier: compiled once, re-measurable (for the
+        monotonicity re-time) without recompilation."""
+
+        def __init__(self, label, solver):
+            self.label, self.solver = label, solver
+            _progress["stage"] = f"compile_{label}"
+            self.loop_s = make_loop(solver, T)
+            self.loop_l = make_loop(solver, LONG * T)
+            xf, _, U = self.loop_s(x0, carry0)
+            float(jnp.sum(xf))                   # compile + first exec
+            if not bool(jnp.all(jnp.isfinite(U))):
+                raise FloatingPointError("non-finite controls")
+            xf, _, _ = self.loop_l(x0, carry0)
+            float(jnp.sum(xf))
+
+        def measure(self):
+            """Solves/s from the T-vs-LONG*T slope."""
+            _progress["stage"] = f"time_{self.label}"
+            ts, reps_s = timed(self.loop_s, x0, REPS)
+            tl, reps_l = timed(self.loop_l, x0, REPS)
+            per_step = max((tl - ts) / ((LONG - 1) * T), 1e-12)
+            spread = 0.0
+            if min(reps_l) > 0:
+                spread = (max(reps_l) - min(reps_l)) / float(np.median(reps_l))
+            _results[f"timing_{self.label}"] = {
+                "short_s": [round(t, 4) for t in reps_s],
+                "long_s": [round(t, 4) for t in reps_l],
+                "long_spread_frac": round(spread, 3)}
+            return B / per_step
 
     kernel = False
+    tiers = {}
     if on_tpu:
         try:
-            _results["value"] = round(slope_rate(kernel_solver, "warm"), 1)
+            tiers["warm"] = Tier("warm", kernel_solver)
+            _results["value"] = round(tiers["warm"].measure(), 1)
             kernel = True
         except Exception as kernel_err:
             # The XLA fallback keeps the bench alive, but a kernel failure
@@ -289,12 +288,14 @@ def run_bench(backend: str) -> int:
                 return 1
     if not kernel:
         try:
-            _results["value"] = round(slope_rate(xla_solver, "xla"), 1)
+            _results["value"] = round(Tier("xla", xla_solver).measure(), 1)
         except Exception as e:
             _emit(error=str(e)[:160])
             return 1
     _results["backend"] = backend
     _results["batch"] = B
+    _results["timing_reps"] = REPS
+    _results["slope_steps"] = [T, LONG * T]
     _results["warm_budget"] = ("kernel 2 iters x 3 alphas" if kernel
                                else "xla 4 iters")
     # FLOPs-accounted MFU (VERDICT r3 next-2): analytic per-solve count
@@ -343,8 +344,8 @@ def run_bench(backend: str) -> int:
                 # bench loop (same receding-horizon semantics as the rest)
                 return c.V
 
-            _results["value_adaptive"] = round(
-                float(slope_rate(adaptive_solver, "adaptive")), 1)
+            tiers["adaptive"] = Tier("adaptive", adaptive_solver)
+            _results["value_adaptive"] = round(tiers["adaptive"].measure(), 1)
             _results["adaptive_budget"] = ("kernel 2x3 + self-escalation "
                                            "(tol 5e-3, <=2 extra rounds)")
         except Exception as e:
@@ -353,7 +354,8 @@ def run_bench(backend: str) -> int:
         # Converged-budget tier (3 x (2 iters x 3 alphas) = 6 Newton
         # iterations) + stationarity certificate.
         try:
-            conv_rate = slope_rate(kernel_solver_conv, "converged")
+            tiers["converged"] = Tier("converged", kernel_solver_conv)
+            conv_rate = tiers["converged"].measure()
             xf, Vf, _ = make_loop(kernel_solver_conv, T)(x0, carry0)
             Vsol = kernel_solver_conv(xf, Vf)   # plan at the full budget
             # one extra warm-kernel round emits the in-kernel diagnostic
@@ -373,6 +375,40 @@ def run_bench(backend: str) -> int:
         except Exception as e:       # keep the headline alive regardless
             _results["value_converged_error"] = str(e)[:120]
 
+        # Tier monotonicity (VERDICT r4 next-2): each later tier's budget
+        # is a strict work-superset of the one before, so measured rates
+        # must satisfy warm >= adaptive >= converged (5% measurement
+        # slack). An inversion is a timing artifact by construction:
+        # re-time the pair once (loops stay compiled — re-measurement is
+        # cheap); if it survives, clamp the later tier to the earlier one
+        # and flag it, so an impossible ordering can never ship silently.
+        _progress["stage"] = "tier_monotonicity"
+        for hi_key, lo_key, lo_label in (
+                ("value", "value_adaptive", "adaptive"),
+                ("value_adaptive", "value_converged", "converged"),
+                ("value", "value_converged", "converged")):
+            hi, lo = _results.get(hi_key), _results.get(lo_key)
+            if not (isinstance(hi, float) and isinstance(lo, float)):
+                continue
+            if lo <= hi * 1.05:
+                continue
+            _note(f"tier inversion {lo_key}={lo:.3g} > {hi_key}={hi:.3g}; "
+                  "re-timing both")
+            hi_label = "warm" if hi_key == "value" else "adaptive"
+            if hi_label not in tiers or lo_label not in tiers:
+                continue
+            _results[hi_key] = hi = round(tiers[hi_label].measure(), 1)
+            _results[lo_key] = lo = round(tiers[lo_label].measure(), 1)
+            if lo > hi * 1.05:
+                _results[lo_key] = hi
+                _results[f"{lo_key}_clamped"] = lo
+                _results["tier_inversion_flag"] = True
+                _note(f"inversion persists ({lo:.3g} > {hi:.3g}); "
+                      f"clamped {lo_key} to {hi_key}")
+        if "value_adaptive" in _results:
+            _results["vs_baseline_adaptive"] = round(
+                _results["value_adaptive"] / BASELINE_HZ, 2)
+
     # Closed-loop QUALITY gate: full episodes to convergence. 1200
     # solve-every-step iterations = 2.4 s sim at Ts=2 ms. Runs on both
     # backends (CPU uses the XLA solver) so a CPU-fallback line still
@@ -380,7 +416,7 @@ def run_bench(backend: str) -> int:
     try:
         _progress["stage"] = "quality_gate"
         q_solver = kernel_solver if kernel else xla_solver
-        quality_loop = make_loop(q_solver, 1200)
+        quality_loop = make_loop(q_solver, 200 if smoke else 1200)
         xq, _, _ = quality_loop(x0, carry0)
         err = jnp.hypot(xq[:, 0] - targets[:, 0],
                         xq[:, 2] - targets[:, 2])
@@ -395,43 +431,190 @@ def run_bench(backend: str) -> int:
     return 0
 
 
-def main():
+def inner_main(backend: str) -> int:
+    """Run the measurement with a fixed backend (subprocess entry)."""
     threading.Thread(target=_heartbeat_thread, daemon=True).start()
     deadline = float(os.environ.get("DART_BENCH_DEADLINE", "1500"))
-    threading.Thread(target=_watchdog_thread, args=(deadline,),
-                     daemon=True).start()
 
-    probe_deadline = float(os.environ.get("DART_BENCH_PROBE_DEADLINE", "480"))
-    want_cpu = os.environ.get("DART_BENCH_FORCE_CPU", "") == "1"
-    backend = "cpu"
-    if not want_cpu and probe_tpu(probe_deadline):
-        backend = "tpu"
+    def watchdog():
+        if _emitted.wait(deadline):
+            return
+        _note(f"inner watchdog fired in stage={_progress['stage']}")
+        _emit(watchdog_timeout_stage=_progress["stage"],
+              watchdog_deadline_s=deadline)
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     import jax
     if backend == "cpu":
         # Env vars are too late here (sitecustomize already imported jax);
         # the config update is the supported post-import override.
         jax.config.update("jax_platforms", "cpu")
-
+    else:
+        be = jax.default_backend()
+        if not ("axon" in be or "tpu" in be):
+            _note(f"inner tpu: default backend is {be}, aborting")
+            return 3
     try:
-        rc = run_bench(backend)
+        return run_bench(backend)
     except Exception as e:
-        if backend == "tpu":
-            # The tunnel passed the probe but died mid-run: one honest
-            # retry on CPU instead of an empty artifact.
-            _note(f"TPU run failed mid-flight ({e!r:.120}); retrying on CPU")
-            _results.clear()
-            _results["tpu_midrun_error"] = str(e)[:160]
+        _emit(error=str(e)[:160], backend=backend)
+        return 1
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator: bank a CPU line, chase the TPU line for the whole window.
+# ---------------------------------------------------------------------------
+
+PROBE_CODE = ("import jax, jax.numpy as jnp; "
+              "x = jnp.arange(8.0); "
+              "print(float(x.sum()), jax.default_backend())")
+
+
+def probe_tpu_once(timeout_s: float) -> bool:
+    """One subprocess probe: True only after a real device op round-trips
+    (a failed in-process backend init is sticky; the subprocess isolates
+    that)."""
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE_CODE],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        return r.returncode == 0 and ("axon" in r.stdout
+                                      or "tpu" in r.stdout)
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def run_inner(backend: str, timeout_s: float, tag: str):
+    """Spawn an inner bench; returns (proc, logpath)."""
+    env = dict(os.environ)
+    env[INNER_ENV] = backend
+    env["DART_BENCH_DEADLINE"] = str(max(60.0, timeout_s))
+    log = f"/tmp/dart_bench_inner_{tag}.log"
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            stdout=subprocess.PIPE,
+                            stderr=open(log, "w"), text=True, env=env)
+    return proc, log
+
+
+def parse_inner(proc, grace_s: float):
+    """Wait for an inner bench; return its parsed JSON line or None."""
+    try:
+        out, _ = proc.communicate(timeout=grace_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+    for line in (out or "").strip().splitlines()[::-1]:
+        line = line.strip()
+        if line.startswith("{"):
             try:
-                jax.config.update("jax_platforms", "cpu")
-                rc = run_bench("cpu")
-            except Exception as e2:
-                _emit(error=str(e2)[:160])
-                rc = 1
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    inner = os.environ.get(INNER_ENV, "")
+    if inner in ("cpu", "tpu"):
+        return inner_main(inner)
+
+    threading.Thread(target=_heartbeat_thread, daemon=True).start()
+    deadline = float(os.environ.get("DART_BENCH_DEADLINE", "1500"))
+    t_end = _t0 + deadline
+
+    cpu_line = {}
+    tpu_line = {}
+
+    def watchdog():
+        if _emitted.wait(deadline + 30.0):
+            return
+        _note(f"orchestrator watchdog fired in stage={_progress['stage']}")
+        line = tpu_line or cpu_line
+        if line:
+            _results.update(line)
+        _emit(watchdog_timeout_stage=_progress["stage"])
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    # 1. Bank the CPU fallback immediately (costs the TPU path nothing:
+    # the CPU inner never touches the tunnel).
+    force_cpu = os.environ.get("DART_BENCH_FORCE_CPU", "") == "1"
+    cpu_proc, cpu_log = run_inner("cpu", deadline - 90.0, "cpu")
+    _note(f"CPU fallback bench started (pid {cpu_proc.pid}, log {cpu_log})")
+
+    def harvest_cpu(grace_s):
+        nonlocal cpu_proc
+        if cpu_proc is None:
+            return
+        line = parse_inner(cpu_proc, grace_s)
+        cpu_proc = None
+        if line and line.get("value"):
+            cpu_line.update(line)
+            _note(f"CPU line banked: {line.get('value'):.3g} solves/s")
         else:
-            _emit(error=str(e)[:160])
-            rc = 1
-    return rc
+            _note("CPU inner produced no usable line")
+
+    # 2. Chase the TPU for nearly the whole window. MIN_TPU_BUDGET is the
+    # floor below which even a warm-cache TPU run cannot finish, so
+    # probing past (deadline - floor) is pointless.
+    MIN_TPU_BUDGET = float(os.environ.get("DART_BENCH_MIN_TPU_BUDGET", "240"))
+    tried_tpu = False
+    probe_wait_s = 0.0
+    if not force_cpu:
+        from dart_tpu.utils.tpu_lock import tpu_lock
+        with tpu_lock(timeout_s=120.0) as locked:
+            if not locked:
+                _note("tunnel lock busy >120s; proceeding unlocked")
+                _results["tunnel_lock_timeout"] = True
+            attempt = 0
+            while time.time() < t_end - MIN_TPU_BUDGET:
+                attempt += 1
+                _progress["stage"] = f"probe_tpu_attempt_{attempt}"
+                budget = min(90.0, t_end - MIN_TPU_BUDGET - time.time())
+                if budget < 5.0:
+                    break
+                if probe_tpu_once(budget):
+                    probe_wait_s = time.time() - _t0
+                    _note(f"TPU probe ok on attempt {attempt}")
+                    tried_tpu = True
+                    tpu_budget = t_end - time.time() - 60.0
+                    _progress["stage"] = "tpu_inner"
+                    proc, log = run_inner("tpu", tpu_budget, "tpu")
+                    _note(f"TPU bench started (pid {proc.pid}, "
+                          f"budget {tpu_budget:.0f}s, log {log})")
+                    line = parse_inner(proc, tpu_budget + 30.0)
+                    if line and line.get("backend") == "tpu" \
+                            and line.get("value"):
+                        tpu_line.update(line)
+                        break
+                    _note("TPU inner failed or fell back; "
+                          f"line={json.dumps(line)[:200] if line else None}")
+                    # tunnel may have died mid-run; resume probing with
+                    # whatever window remains
+                else:
+                    time.sleep(min(10.0, max(0.0, t_end - time.time())))
+
+    # 3. Choose the winner.
+    _progress["stage"] = "harvest"
+    if tpu_line:
+        harvest_cpu(grace_s=1.0)     # don't wait on the banked run
+        _results.update(tpu_line)
+        extra = {"probe_wait_s": round(probe_wait_s, 1)}
+        if cpu_line.get("value"):
+            extra["cpu_fallback_value"] = cpu_line["value"]
+        _emit(**extra)
+        return 0
+    harvest_cpu(grace_s=max(5.0, t_end - time.time() - 15.0))
+    if cpu_line:
+        _results.update(cpu_line)
+        _emit(tpu_attempted=tried_tpu,
+              tpu_probe_failed=not tried_tpu and not force_cpu)
+        return 0
+    _emit(error="no inner bench produced a line")
+    return 1
 
 
 if __name__ == "__main__":

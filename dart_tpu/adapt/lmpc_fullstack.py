@@ -83,7 +83,10 @@ def sample_obj_params(rng, dtype=jnp.float32) -> to_mod.TrayObjectParams:
         h_com=jnp.asarray(0.025, dtype),
         topple_on=topple_table[shape],
         roll_resist=rr_tab[shape],
-        slide_damp=to_mod.calibrated_slide_damp(sd_tab[shape], mu, dtype))
+        slide_damp=to_mod.calibrated_slide_damp(sd_tab[shape], mu, dtype),
+        roll_stick=to_mod.calibrated_roll_stick(kappa_table[shape], mu,
+                                                dtype),
+        stick_vel=jnp.asarray(5e-3, dtype))
 
 
 def env_init(rng, ctlr: mpc_mod.LMPC, cfg: FSEnvConfig) -> FSEnvState:

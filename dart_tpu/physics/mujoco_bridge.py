@@ -78,7 +78,12 @@ def make_world(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
     spec = mujoco.MjSpec.from_file(xml)
     body = spec.body(OBJECT_BODY)
     geom = body.geoms[0]
-    fric = [mu, mu, 0.001]
+    # Friction triple [sliding, torsional, rolling]: the reference's
+    # randomiser writes mu * [1, 1, 0.01] (`LMPC/src/run.py:221-223`; the
+    # committed XML example is 0.2 0.2 0.002, `world_general.xml:159`) —
+    # the rolling coefficient is mu-resolved, not flat. r1-r4 used a flat
+    # 0.001 here, which halved the mu=0.2 rolling-stiction cone.
+    fric = [mu, mu, mu / 100.0]
     quat0 = [1.0, 0.0, 0.0, 0.0]
     if shape == "cube":
         geom.type = mujoco.mjtGeom.mjGEOM_BOX

@@ -60,12 +60,16 @@ def make_preset_params(name: str, mu: float = 0.3,
         omega_n, zeta, lag_fast = calibrated_lag(m_eff, dtype)
         rr = CALIBRATED_ROLL_RESIST["sphere" if ky > 0 else "cylinder"] \
             if rolls else 0.0
-        from dart_tpu.physics.tray_object import calibrated_slide_damp
+        from dart_tpu.physics.tray_object import (calibrated_roll_stick,
+                                                  calibrated_slide_damp)
         sd = 0.0 if rolls else calibrated_slide_damp(
             CALIBRATED_SLIDE_DAMP["cube"], mu, dtype)
+        rstick = calibrated_roll_stick(jnp.asarray([kx, ky], dtype), mu,
+                                       dtype)
     else:
         omega_n, zeta, lag_fast = LEGACY_TRAY_LAG + (0.0,)
         rr, sd = 0.0, 0.0
+        rstick = jnp.zeros(2, dtype)
     return TrayObjectParams(
         mass=a(mass if mass is not None else m0), mu=a(mu),
         kappa_inv=a([kx, ky]),
@@ -73,4 +77,5 @@ def make_preset_params(name: str, mu: float = 0.3,
         tray_pos=a([0.0, 0.0, tray_height]),
         half_w=a([hx, hy]), h_com=a(hcom),
         topple_on=a([tx, ty]),
-        roll_resist=a(rr), slide_damp=a(sd), lag_fast=a(lag_fast))
+        roll_resist=a(rr), slide_damp=a(sd), lag_fast=a(lag_fast),
+        roll_stick=rstick, stick_vel=a(5e-3))

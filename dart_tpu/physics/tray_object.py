@@ -124,6 +124,25 @@ def calibrated_slide_damp(base, mu, dtype=jnp.float32):
     lo, hi = CALIBRATED_SLIDE_DAMP_MU_ANCHORS
     fade = jnp.clip((hi - jnp.asarray(mu, dtype)) / (hi - lo), 0.0, 1.0)
     return jnp.asarray(base, dtype) * fade
+
+
+# r5 rolling-stiction breakaway slope: tan(theta_break) = ROLL_STICK_PER_MU
+# x mu for rolling axes. Theory: the rolling-friction cone holds while
+# tan(tilt) <= c_r / r with the reference's rolling coefficient
+# c_r = mu/100 (`LMPC/src/run.py:221-223`) and contact radius r = 0.025,
+# giving 0.4 mu. Measured against the reference world via quasi-static
+# commanded-tilt ramps through the full arm stack
+# (tools/measure_roll_stiction.py, artifacts/mujoco/roll_stiction.json).
+ROLL_STICK_PER_MU = 0.4
+
+
+def calibrated_roll_stick(kappa_inv, mu, dtype=jnp.float32):
+    """Per-axis breakaway cone (x gn) for the calibrated plant: rolling
+    axes (kappa_inv > 0) hold below |g_t| = 0.4 mu gn; non-rolling axes 0
+    (Coulomb stick already emerges from the mu tanh slide term)."""
+    base = ROLL_STICK_PER_MU * jnp.asarray(mu, dtype)
+    return jnp.where(jnp.asarray(kappa_inv, dtype) > 0, base,
+                     jnp.zeros_like(base))
 # Per-axis inverse rolling factors kappa_inv = 1/kappa (see module docstring).
 _KAPPA_INV = {
     "cube": (0.0, 0.0),
@@ -164,6 +183,18 @@ class TrayObjectParams(NamedTuple):
     # Fraction of a command step realised at the FAST lag pole (the
     # transfer zero of the arm stack's tilt response; see `lag_step`).
     lag_fast: jnp.ndarray = 0.0
+    # r5 rolling STICTION (VERDICT r4 next-3): per-axis breakaway
+    # tangential acceleration (x gn) below which a slow-enough rolling
+    # contact HOLDS, as MuJoCo's rolling-friction cone + noslip solver
+    # does. The regularised kinetic model alone (roll_resist * tanh)
+    # vanishes at zero rolling rate, so any nonzero tilt made rollers
+    # creep forever — the r4 settled sweeps ejected cylinders/spheres by
+    # meters where mj_step holds them. Physically: an object of contact
+    # radius r with MuJoCo rolling coefficient c_r stays at rest while
+    # tan(tilt) <= c_r / r, i.e. |g_t| <= (c_r/r) gn (the reference
+    # randomiser writes c_r = mu/100, `LMPC/src/run.py:221-223`).
+    roll_stick: jnp.ndarray = 0.0    # (2,) or scalar, x gn
+    stick_vel: jnp.ndarray = 5e-3    # hold only below this speed (m/s)
 
 
 def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
@@ -178,11 +209,13 @@ def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
     MuJoCo-measured CALIBRATED_TRAY_LAG instead."""
     a = lambda x: jnp.asarray(x, dtype)
     lag_fast, roll_resist, slide_damp = 0.0, 0.0, 0.0
+    roll_stick = 0.0
     if calibrated:
         omega_n, zeta, lag_fast = calibrated_lag(mass, dtype)
         roll_resist = CALIBRATED_ROLL_RESIST[shape]
         slide_damp = calibrated_slide_damp(CALIBRATED_SLIDE_DAMP[shape],
                                            mu, dtype)
+        roll_stick = calibrated_roll_stick(_KAPPA_INV[shape], mu, dtype)
     half = size / 2.0
     return TrayObjectParams(
         mass=a(mass), mu=a(mu), kappa_inv=a(_KAPPA_INV[shape]),
@@ -191,7 +224,8 @@ def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
         half_w=a([half, half]), h_com=a(half),
         topple_on=a(_TOPPLE_ON[shape]),
         roll_resist=a(roll_resist), slide_damp=a(slide_damp),
-        lag_fast=a(lag_fast))
+        lag_fast=a(lag_fast), roll_stick=a(roll_stick),
+        stick_vel=a(5e-3))
 
 
 def topple_on_from_kappa(kappa_inv: jnp.ndarray) -> jnp.ndarray:
@@ -259,6 +293,20 @@ def step_object(s: TrayObjectState, theta: jnp.ndarray,
     v_roll = s.v_roll + dt * (-a_f * params.kappa_inv - rr)
     # Non-rolling axes carry no rolling state.
     v_roll = jnp.where(params.kappa_inv > 0, v_roll, jnp.zeros_like(v_roll))
+    # Rolling stiction (r5): a slow-enough rolling contact whose
+    # tangential drive is inside the breakaway cone |g_t| <= roll_stick*gn
+    # HOLDS — velocity and rolling state snap to rest and the position
+    # freezes, exactly the regime MuJoCo's rolling-friction cone +
+    # noslip solver provides and the pure tanh model lacks (see
+    # TrayObjectParams.roll_stick). Sticking is not sticky state: the
+    # instant the drive leaves the cone (or an impulse makes the object
+    # fast), the normal kinetic update resumes.
+    stick = ((params.kappa_inv > 0)
+             & (jnp.abs(v) <= params.stick_vel)
+             & (jnp.abs(v_roll) <= params.stick_vel)
+             & (jnp.abs(gt) <= params.roll_stick * gn))
+    v = jnp.where(stick, 0.0, v)
+    v_roll = jnp.where(stick, 0.0, v_roll)
     p = s.p + dt * v
 
     # Rocking about the downhill support edge (see module docstring).

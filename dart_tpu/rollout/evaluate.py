@@ -23,6 +23,10 @@ from dart_tpu.rollout.metrics import Metrics, compute_metrics
 class PMPCScenarioResult(NamedTuple):
     metrics: Metrics
     final_p: jnp.ndarray
+    # Sticky contact-loss flag (r5, LMPC evaluator): the episode froze at
+    # the first off-tray/topple crossing instead of integrating the
+    # tray-frame model past the tray edge (None where not tracked).
+    contact_lost: jnp.ndarray = None
 
 
 def _select_weights(shape_id, dtype, mu=None):
@@ -301,9 +305,12 @@ def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
         roll_resist = rr_tab[shape_id]
         slide_damp = to_mod.calibrated_slide_damp(sd_tab[shape_id], mu,
                                                   dtype)
+        roll_stick = to_mod.calibrated_roll_stick(shape_kappa_inv, mu,
+                                                  dtype)
     else:
         roll_resist = jnp.asarray(0.0, dtype)
         slide_damp = jnp.asarray(0.0, dtype)
+        roll_stick = jnp.zeros(2, dtype)
     return to_mod.TrayObjectParams(
         mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
         slip_eps=jnp.asarray(2e-3, dtype),
@@ -313,7 +320,8 @@ def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
         h_com=jnp.asarray(0.025, dtype),
         topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv),
         roll_resist=roll_resist, slide_damp=slide_damp,
-        lag_fast=jnp.asarray(lag_fast, dtype))
+        lag_fast=jnp.asarray(lag_fast, dtype),
+        roll_stick=roll_stick, stick_vel=jnp.asarray(5e-3, dtype))
 
 
 def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
@@ -377,7 +385,7 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
             return s
 
         def stepf(carry, k):
-            cc, s, current_k, welford, history, u_prev, stopped = carry
+            cc, s, current_k, welford, history, u_prev, stopped, lost = carry
             x = observe8(s)
             base = jnp.concatenate([x, target8, u_prev, current_k])
             welford = ppo_mod.welford_update(welford, base)
@@ -425,11 +433,26 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
                 s_next = substep(s, u_apply)
                 s_keep = jax.tree.map(
                     lambda a, b: jnp.where(stopped, a, b), s, s_next)
+            # Terminate at contact loss (VERDICT r4 next-3): once the
+            # object crosses the tray edge (or topples), the tray-frame
+            # slide model has nothing physical left to integrate — the
+            # r4 settled artifact recorded rolling lanes at 1.5-9.5 m
+            # because the evaluator integrated straight past +-0.2 m.
+            # Freeze the whole lane at the first crossing; the recorded
+            # SSE is then the (honest) distance at the tray edge and the
+            # `contact_lost` flag marks the lane failed.
+            frz = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(lost, x, y), a, b)
+            cand = (cc, s_keep, current_k, welford, history, u)
+            cc, s_keep, current_k, welford, history, u = frz(
+                (carry[0], s, carry[2], carry[3], carry[4], u_prev), cand)
+            u_apply = jnp.where(lost, jnp.zeros_like(u_apply), u_apply)
+            lost_n = lost | to_mod.contact_lost(s_keep)
             err = jnp.sqrt((s_keep.p[0] - target_xy[0]) ** 2
                            + (s_keep.p[1] - target_xy[1]) ** 2)
-            stopped_n = stopped | (warm & (err < tol))
-            return (cc, s_keep, current_k, welford, history, u, stopped_n), \
-                (s_keep.p, u_apply)
+            stopped_n = stopped | (warm & (err < tol) & (~lost_n))
+            return (cc, s_keep, current_k, welford, history, u, stopped_n,
+                    lost_n), (s_keep.p, u_apply)
 
         s0 = to_mod.init_state(dtype=dtype)
         init_k = jax.random.uniform(
@@ -439,15 +462,18 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
                   ppo_mod.welford_init(trainer.BASE_OBS_DIM, dtype),
                   jnp.zeros((trainer.HISTORY_LEN, trainer.BASE_OBS_DIM),
                             dtype),
-                  jnp.zeros(2, dtype), jnp.zeros((), bool))
-        (_, s_fin, _, _, _, _, _), (ps, us) = jax.lax.scan(
+                  jnp.zeros(2, dtype), jnp.zeros((), bool),
+                  jnp.zeros((), bool))
+        (_, s_fin, _, _, _, _, _, lost_fin), (ps, us) = jax.lax.scan(
             stepf, carry0, jnp.arange(n_ctrl))
         X = jnp.stack([ps[:, 0], jnp.zeros_like(ps[:, 0]),
                        ps[:, 1], jnp.zeros_like(ps[:, 1])], axis=-1)
         m = compute_metrics(X, us, target_xy, ctrl_dt, tol=tol)
         if trace:
-            return PMPCScenarioResult(metrics=m, final_p=s_fin.p), (ps, us)
-        return PMPCScenarioResult(metrics=m, final_p=s_fin.p)
+            return PMPCScenarioResult(metrics=m, final_p=s_fin.p,
+                                      contact_lost=lost_fin), (ps, us)
+        return PMPCScenarioResult(metrics=m, final_p=s_fin.p,
+                                  contact_lost=lost_fin)
 
     return evaluate
 
