@@ -81,8 +81,11 @@ def make_world(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
     # Friction triple [sliding, torsional, rolling]: the reference's
     # randomiser writes mu * [1, 1, 0.01] (`LMPC/src/run.py:221-223`; the
     # committed XML example is 0.2 0.2 0.002, `world_general.xml:159`) —
-    # the rolling coefficient is mu-resolved, not flat. r1-r4 used a flat
-    # 0.001 here, which halved the mu=0.2 rolling-stiction cone.
+    # the rolling coefficient is mu-resolved, not the flat 0.001 r1-r4
+    # wrote here. Physically inert either way: every geom in this world
+    # is condim 3, so only the sliding entry reaches the contact solver
+    # (measured — tools/measure_roll_stiction.py); matched for spec
+    # parity.
     fric = [mu, mu, mu / 100.0]
     quat0 = [1.0, 0.0, 0.0, 0.0]
     if shape == "cube":
@@ -353,7 +356,7 @@ def observe8(data, idx: MjIndex) -> np.ndarray:
 
 def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
                   max_iters: int = 4, param_update_every: int = 8,
-                  freeze_tol: float = 0.01):
+                  freeze_tol: float = 0.01, reengage_tol: float = None):
     """LMPC adapter: trained policy tunes the 34 model params online while
     the LMPC solves over them — `run.py:243-311` semantics (Welford+history
     observation, param action every 8 control periods, u *= -1 sign flip,
@@ -361,20 +364,29 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
     welford, history, u_prev, step, frozen).
 
     Adaptation clutch (r4): once the tracking error first drops below
-    ``freeze_tol`` the 34-param vector is FROZEN (sticky) while the MPC
-    keeps solving. At zero tracking error the tuner has no excitation and
+    ``freeze_tol`` the 34-param vector is FROZEN while the MPC keeps
+    solving. At zero tracking error the tuner has no excitation and
     its continued parameter drift can destabilise marginal lanes (the
     near-frictionless sphere rolled off the tray tens of seconds AFTER
     converging). This is the same zero-excitation guard the RMPC path
     applies to its RLS at convergence, and is strictly more demanding
     than the reference, which breaks the whole episode at first crossing
-    (`run.py:300-306`) and never demonstrates post-convergence control."""
+    (`run.py:300-306`) and never demonstrates post-convergence control.
+
+    r5: the clutch is HYSTERETIC, not sticky — if the error re-exceeds
+    ``reengage_tol`` (default 2 x freeze_tol) adaptation resumes: a
+    wandering post-convergence object is precisely the excitation regime
+    the tuner was trained for, and locking it out forever left the r4
+    settled rolling lanes with no recovery path (see
+    `rollout.evaluate.make_lmpc_evaluator`)."""
     from dart_tpu.adapt import lmpc_trainer as trainer
     from dart_tpu.adapt import ppo as ppo_mod
 
     ctlr = mpc_mod.LMPC(N=N, dt=dt,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
     act_cfg = ppo_mod.ParamActionConfig()
+    if reengage_tol is None:
+        reengage_tol = 2.0 * freeze_tol
 
     @jax.jit
     def solve(carry, obs, target_w):
@@ -392,7 +404,7 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
         # update lands — "frozen at first crossing" exactly, mirroring
         # evaluate.py's stopped-gating order.
         err = jnp.hypot(obs[0] - target8[0], obs[2] - target8[2])
-        frozen = frozen | (err < freeze_tol)
+        frozen = (frozen | (err < freeze_tol)) & (err < reengage_tol)
         current_k = jnp.where(((k % param_update_every) == 0) & (~frozen),
                               k_new, current_k)
         cc, u, _ = ctlr.solve(cc, obs, target8, current_k)

@@ -66,10 +66,15 @@ def make_preset_params(name: str, mu: float = 0.3,
             CALIBRATED_SLIDE_DAMP["cube"], mu, dtype)
         rstick = calibrated_roll_stick(jnp.asarray([kx, ky], dtype), mu,
                                        dtype)
+        from dart_tpu.physics.tray_object import (CALIBRATED_BACK_GSS,
+                                                  CALIBRATED_BACK_W)
+        bw = jnp.asarray(CALIBRATED_BACK_W, dtype)
+        bg = jnp.asarray(CALIBRATED_BACK_GSS, dtype)
     else:
         omega_n, zeta, lag_fast = LEGACY_TRAY_LAG + (0.0,)
         rr, sd = 0.0, 0.0
         rstick = jnp.zeros(2, dtype)
+        bw, bg = jnp.zeros(2, dtype), jnp.ones(2, dtype)
     return TrayObjectParams(
         mass=a(mass if mass is not None else m0), mu=a(mu),
         kappa_inv=a([kx, ky]),
@@ -78,4 +83,4 @@ def make_preset_params(name: str, mu: float = 0.3,
         half_w=a([hx, hy]), h_com=a(hcom),
         topple_on=a([tx, ty]),
         roll_resist=a(rr), slide_damp=a(sd), lag_fast=a(lag_fast),
-        roll_stick=rstick, stick_vel=a(5e-3))
+        roll_stick=rstick, stick_vel=a(5e-3), back_w=bw, back_gss=bg)

@@ -127,19 +127,43 @@ def calibrated_slide_damp(base, mu, dtype=jnp.float32):
 
 
 # r5 rolling-stiction breakaway slope: tan(theta_break) = ROLL_STICK_PER_MU
-# x mu for rolling axes. Theory: the rolling-friction cone holds while
-# tan(tilt) <= c_r / r with the reference's rolling coefficient
-# c_r = mu/100 (`LMPC/src/run.py:221-223`) and contact radius r = 0.025,
-# giving 0.4 mu. Measured against the reference world via quasi-static
-# commanded-tilt ramps through the full arm stack
-# (tools/measure_roll_stiction.py, artifacts/mujoco/roll_stiction.json).
-ROLL_STICK_PER_MU = 0.4
+# x mu for rolling axes. MEASURED ZERO against the reference contact
+# model (tools/measure_roll_stiction.py static-incline bisection,
+# artifacts/mujoco/roll_stiction.json): although the reference randomiser
+# writes a rolling-friction coefficient c_r = mu/100
+# (`LMPC/src/run.py:221-223`, predicting a tan(theta) = c_r/r = 0.4 mu
+# cone), every geom in the reference world is condim 3, so the torsional
+# and rolling entries of the friction triple are INERT — a sphere on a
+# static incline at 1e-4 rad already creeps, while a cube holds at
+# tan(theta) ~ 0.83 mu (the sliding cone, slightly inside mu from
+# soft-contact creep). Bounded post-convergence rolling holds on MuJoCo
+# ground truth are therefore the CONTROLLER's doing, not contact
+# stiction; the `roll_stick` plant mechanism below is kept as a
+# capability (e.g. for condim-6 worlds) but the calibrated plant runs
+# with the measured cone: none.
+ROLL_STICK_PER_MU = 0.0
+
+# r5 small-signal arm-stack friction, fitted per axis against the
+# square-wave realised-tilt measurement (tools/measure_tilt_smallsignal.py
+# -> tools/fit_backlash.py; artifacts/mujoco/{tilt_smallsignal*.json,
+# backlash_fit.json}). The measured realised/commanded gain collapses from
+# ~0.76 (0.1 rad) to 0.004-0.08 (<= 0.01 rad): xArm7 joint frictionloss
+# swallows micro-commands. The y axis carries ~2.6x the play of x (its
+# tilt is realised through differently-loaded joints; it also sags more
+# at rest, -0.022 rad vs 0.008). This regime is load-bearing for
+# post-convergence fidelity: on a backlash-free lag the MPC's micro
+# -corrections all act, letting a marginal hold loop pump energy that the
+# real plant swallows (the r4 rolling-lane ejections).
+CALIBRATED_BACK_W = (0.007, 0.0185)
+CALIBRATED_BACK_GSS = (0.095, 0.0212)
 
 
 def calibrated_roll_stick(kappa_inv, mu, dtype=jnp.float32):
-    """Per-axis breakaway cone (x gn) for the calibrated plant: rolling
-    axes (kappa_inv > 0) hold below |g_t| = 0.4 mu gn; non-rolling axes 0
-    (Coulomb stick already emerges from the mu tanh slide term)."""
+    """Per-axis breakaway cone (x gn) for the calibrated plant. Measured
+    against the reference world: ~0 for rolling axes (condim 3 makes the
+    rolling-friction coefficient inert — see ROLL_STICK_PER_MU);
+    non-rolling axes 0 (Coulomb stick already emerges from the mu tanh
+    slide term)."""
     base = ROLL_STICK_PER_MU * jnp.asarray(mu, dtype)
     return jnp.where(jnp.asarray(kappa_inv, dtype) > 0, base,
                      jnp.zeros_like(base))
@@ -183,18 +207,27 @@ class TrayObjectParams(NamedTuple):
     # Fraction of a command step realised at the FAST lag pole (the
     # transfer zero of the arm stack's tilt response; see `lag_step`).
     lag_fast: jnp.ndarray = 0.0
-    # r5 rolling STICTION (VERDICT r4 next-3): per-axis breakaway
-    # tangential acceleration (x gn) below which a slow-enough rolling
-    # contact HOLDS, as MuJoCo's rolling-friction cone + noslip solver
-    # does. The regularised kinetic model alone (roll_resist * tanh)
-    # vanishes at zero rolling rate, so any nonzero tilt made rollers
-    # creep forever — the r4 settled sweeps ejected cylinders/spheres by
-    # meters where mj_step holds them. Physically: an object of contact
-    # radius r with MuJoCo rolling coefficient c_r stays at rest while
-    # tan(tilt) <= c_r / r, i.e. |g_t| <= (c_r/r) gn (the reference
-    # randomiser writes c_r = mu/100, `LMPC/src/run.py:221-223`).
+    # r5 rolling STICTION capability: per-axis breakaway tangential
+    # acceleration (x gn) below which a slow-enough rolling contact
+    # HOLDS (the rolling-friction cone tan(tilt) <= c_r/r of a condim-6
+    # contact: an object of contact radius r with rolling coefficient
+    # c_r stays at rest while |g_t| <= (c_r/r) gn). NOTE the CALIBRATED
+    # value for the reference world is 0: its geoms are condim 3, which
+    # makes the rolling entry of the friction triple inert — measured by
+    # static-incline bisection, see ROLL_STICK_PER_MU and
+    # artifacts/mujoco/roll_stiction.json.
     roll_stick: jnp.ndarray = 0.0    # (2,) or scalar, x gn
     stick_vel: jnp.ndarray = 5e-3    # hold only below this speed (m/s)
+    # r5 small-signal friction of the ARM STACK (measured:
+    # tools/measure_tilt_smallsignal.py — every xArm7 joint carries
+    # frictionloss=1, `world_general.xml:17`, and the realised tilt gain
+    # collapses from ~0.76 at 0.1 rad square waves to ~0.06-0.08 below
+    # 0.01 rad). Modelled as BACKLASH-WITH-COMPLIANCE on the lag output:
+    # a play state b trails theta_lin within +-back_w; inside the play
+    # only the presliding compliance back_gss of the motion is realised.
+    # back_w = 0 disables (exact r4 behaviour).
+    back_w: jnp.ndarray = 0.0        # (2,) play half-width (rad)
+    back_gss: jnp.ndarray = 1.0      # presliding gain inside the play
 
 
 def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
@@ -209,13 +242,14 @@ def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
     MuJoCo-measured CALIBRATED_TRAY_LAG instead."""
     a = lambda x: jnp.asarray(x, dtype)
     lag_fast, roll_resist, slide_damp = 0.0, 0.0, 0.0
-    roll_stick = 0.0
+    roll_stick, back_w, back_gss = 0.0, 0.0, 1.0
     if calibrated:
         omega_n, zeta, lag_fast = calibrated_lag(mass, dtype)
         roll_resist = CALIBRATED_ROLL_RESIST[shape]
         slide_damp = calibrated_slide_damp(CALIBRATED_SLIDE_DAMP[shape],
                                            mu, dtype)
         roll_stick = calibrated_roll_stick(_KAPPA_INV[shape], mu, dtype)
+        back_w, back_gss = CALIBRATED_BACK_W, CALIBRATED_BACK_GSS
     half = size / 2.0
     return TrayObjectParams(
         mass=a(mass), mu=a(mu), kappa_inv=a(_KAPPA_INV[shape]),
@@ -225,7 +259,7 @@ def make_params(shape: str = "cube", mass: float = 1.0, mu: float = 0.1,
         topple_on=a(_TOPPLE_ON[shape]),
         roll_resist=a(roll_resist), slide_damp=a(slide_damp),
         lag_fast=a(lag_fast), roll_stick=a(roll_stick),
-        stick_vel=a(5e-3))
+        stick_vel=a(5e-3), back_w=a(back_w), back_gss=a(back_gss))
 
 
 def topple_on_from_kappa(kappa_inv: jnp.ndarray) -> jnp.ndarray:
@@ -257,6 +291,9 @@ class TrayObjectState(NamedTuple):
     # is driven by an externally-supplied tilt, e.g. the arm stack).
     lag_x1: jnp.ndarray = None
     lag_x2: jnp.ndarray = None
+    # Backlash play state (r5 small-signal arm friction; see
+    # TrayObjectParams.back_w). Pass-through in `step_object`.
+    lag_b: jnp.ndarray = None
 
 
 def init_state(p0=(0.0, 0.0), dtype=jnp.float32) -> TrayObjectState:
@@ -265,7 +302,7 @@ def init_state(p0=(0.0, 0.0), dtype=jnp.float32) -> TrayObjectState:
                            p=jnp.asarray(p0, dtype), v=z2, v_roll=z2,
                            q_rock=z2, w_rock=z2,
                            toppled=jnp.zeros((), bool),
-                           lag_x1=z2, lag_x2=z2)
+                           lag_x1=z2, lag_x2=z2, lag_b=z2)
 
 
 def tray_gravity(theta: jnp.ndarray):
@@ -293,12 +330,11 @@ def step_object(s: TrayObjectState, theta: jnp.ndarray,
     v_roll = s.v_roll + dt * (-a_f * params.kappa_inv - rr)
     # Non-rolling axes carry no rolling state.
     v_roll = jnp.where(params.kappa_inv > 0, v_roll, jnp.zeros_like(v_roll))
-    # Rolling stiction (r5): a slow-enough rolling contact whose
-    # tangential drive is inside the breakaway cone |g_t| <= roll_stick*gn
-    # HOLDS — velocity and rolling state snap to rest and the position
-    # freezes, exactly the regime MuJoCo's rolling-friction cone +
-    # noslip solver provides and the pure tanh model lacks (see
-    # TrayObjectParams.roll_stick). Sticking is not sticky state: the
+    # Rolling stiction (r5 capability, off for the calibrated reference
+    # plant — see TrayObjectParams.roll_stick): a slow-enough rolling
+    # contact whose tangential drive is inside the breakaway cone
+    # |g_t| <= roll_stick*gn HOLDS — velocity and rolling state snap to
+    # rest and the position freezes. Sticking is not sticky state: the
     # instant the drive leaves the cone (or an impulse makes the object
     # fast), the normal kinetic update resumes.
     stick = ((params.kappa_inv > 0)
@@ -391,13 +427,24 @@ def lag_step(x1, x2, u_cmd, omega_n, zeta, dt: float, fast_frac=0.0):
 def step(s: TrayObjectState, u_cmd: jnp.ndarray, params: TrayObjectParams,
          dt: float) -> TrayObjectState:
     """One plant step at the 2 ms sim cadence: exact linear-lag tray update
-    (the closed-loop arm-impedance response), semi-implicit Euler object
+    (the closed-loop arm-impedance response) through the small-signal
+    friction backlash, then semi-implicit Euler object
     friction/rolling/rocking update."""
-    x1, x2, theta, theta_dot = lag_step(s.lag_x1, s.lag_x2, u_cmd,
-                                        params.omega_n, params.zeta, dt,
-                                        params.lag_fast)
+    x1, x2, th_lin, _ = lag_step(s.lag_x1, s.lag_x2, u_cmd,
+                                 params.omega_n, params.zeta, dt,
+                                 params.lag_fast)
+    # Backlash-with-compliance (see TrayObjectParams.back_w): the play
+    # state trails theta_lin within +-back_w; inside the play only the
+    # presliding fraction back_gss of the motion reaches the tray.
+    # back_w = 0 collapses to theta = theta_lin exactly.
+    b = jnp.clip(s.lag_b, th_lin - params.back_w, th_lin + params.back_w)
+    theta = b + params.back_gss * (th_lin - b)
+    # Discrete derivative keeps theta_dot consistent with the realised
+    # trajectory through the nonlinearity (observe_world's omega x r term
+    # is the MPC's rate feedback — it must see the post-backlash motion).
+    theta_dot = (theta - s.theta) / dt
     s2 = step_object(s, theta, theta_dot, params, dt)
-    return s2._replace(lag_x1=x1, lag_x2=x2)
+    return s2._replace(lag_x1=x1, lag_x2=x2, lag_b=b)
 
 
 def observe_world(s: TrayObjectState, params: TrayObjectParams,

@@ -307,10 +307,14 @@ def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
                                                   dtype)
         roll_stick = to_mod.calibrated_roll_stick(shape_kappa_inv, mu,
                                                   dtype)
+        back_w = jnp.asarray(to_mod.CALIBRATED_BACK_W, dtype)
+        back_gss = jnp.asarray(to_mod.CALIBRATED_BACK_GSS, dtype)
     else:
         roll_resist = jnp.asarray(0.0, dtype)
         slide_damp = jnp.asarray(0.0, dtype)
         roll_stick = jnp.zeros(2, dtype)
+        back_w = jnp.zeros(2, dtype)
+        back_gss = jnp.ones(2, dtype)
     return to_mod.TrayObjectParams(
         mass=mass, mu=mu, kappa_inv=shape_kappa_inv,
         slip_eps=jnp.asarray(2e-3, dtype),
@@ -321,7 +325,8 @@ def _tray_params(shape_kappa_inv, mass, mu, dtype, tray_lag=None):
         topple_on=to_mod.topple_on_from_kappa(shape_kappa_inv),
         roll_resist=roll_resist, slide_damp=slide_damp,
         lag_fast=jnp.asarray(lag_fast, dtype),
-        roll_stick=roll_stick, stick_vel=jnp.asarray(5e-3, dtype))
+        roll_stick=roll_stick, stick_vel=jnp.asarray(5e-3, dtype),
+        back_w=back_w, back_gss=back_gss)
 
 
 def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
@@ -330,7 +335,8 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
                         max_iters: int = 4, tol: float = 0.01,
                         param_update_every: int = 8,
                         u_sign: float = -1.0, trace: bool = False,
-                        tray_lag=None, hold_after_convergence: bool = False):
+                        tray_lag=None, hold_after_convergence: bool = False,
+                        reengage_tol: float = None):
     """LMPC scenario evaluator on the CONTACT PLANT with the trained policy
     tuning the 34 model parameters online — the closed-loop analogue of
     `LMPC/src/run.py:243-311` with the plant swapped from MuJoCo to
@@ -355,6 +361,23 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
     zero-excitation clutch) while control keeps running, so the recorded
     SSE is the genuine post-convergence hold instead of being clamped at
     the tolerance by the freeze.
+
+    ``reengage_tol`` (r5, settled protocol only; default ``2 * tol``):
+    the adaptation clutch is HYSTERETIC rather than sticky. The r4 sticky
+    freeze had no recovery path: when a rolling object under the frozen
+    (now-miscalibrated) 34-param model wandered past the tolerance, the
+    tuner — whose whole role is tracking the plant — was locked out
+    forever, and the lanes ejected by meters. Re-engaging adaptation once
+    the error re-exceeds ``reengage_tol`` restores exactly the regime the
+    policy was trained for (nonzero tracking error = excitation), while
+    the freeze still guards the zero-excitation band. MuJoCo ground truth
+    note: the reference contact model has NO rolling stiction the plant
+    could be blamed for missing — every geom is condim 3, so the rolling
+    friction coefficient is inert (measured: a sphere on a static incline
+    at 1e-4 rad creeps; `tools/measure_roll_stiction.py`,
+    `artifacts/mujoco/roll_stiction.json`) — bounded post-convergence
+    holds there are the CONTROLLER's doing, which is why the evaluator
+    must let the controller keep its tuner.
     """
     from dart_tpu.adapt import lmpc_trainer as trainer
     from dart_tpu.adapt import ppo as ppo_mod
@@ -364,6 +387,8 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=max_iters))
     n_ctrl = n_steps // control_every
     act_cfg = ppo_mod.ParamActionConfig()
+    if reengage_tol is None:
+        reengage_tol = 2.0 * tol
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy, rng):
         dtype = mass.dtype
@@ -450,7 +475,14 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
             lost_n = lost | to_mod.contact_lost(s_keep)
             err = jnp.sqrt((s_keep.p[0] - target_xy[0]) ** 2
                            + (s_keep.p[1] - target_xy[1]) ** 2)
-            stopped_n = stopped | (warm & (err < tol) & (~lost_n))
+            if hold_after_convergence:
+                # Hysteretic clutch (see docstring): engage the freeze
+                # inside tol, release it once the error re-exceeds
+                # reengage_tol — the tuner gets its excitation back.
+                stopped_n = (stopped | (warm & (err < tol))) \
+                    & (err < reengage_tol)
+            else:
+                stopped_n = stopped | (warm & (err < tol) & (~lost_n))
             return (cc, s_keep, current_k, welford, history, u, stopped_n,
                     lost_n), (s_keep.p, u_apply)
 

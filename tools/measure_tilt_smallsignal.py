@@ -32,7 +32,8 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 
-def measure(amps, half_period_s=1.0, cycles=3, settle_s=2.0):
+def measure(amps, half_period_s=1.0, cycles=3, settle_s=2.0, axis=0,
+            mass=1.0):
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -42,7 +43,7 @@ def measure(amps, half_period_s=1.0, cycles=3, settle_s=2.0):
     from dart_tpu.control import arm as arm_mod
     from dart_tpu.physics import mujoco_bridge as mb
 
-    model, data = mb.make_world(shape="cube", mass=1.0, mu=0.1,
+    model, data = mb.make_world(shape="cube", mass=mass, mu=0.1,
                                 obj_xy=(0.15, 0.1))   # object parked clear
     idx = mb.index_world(model)
     dt = float(model.opt.timestep)
@@ -89,13 +90,14 @@ def measure(amps, half_period_s=1.0, cycles=3, settle_s=2.0):
         T = 2 * hp * cycles
 
         def u_of_t(t, A=A):
-            phase = int(t / hp) % 2
-            return np.array([A if phase == 0 else -A, 0.0])
+            u = np.zeros(2)
+            u[axis] = A if int(t / hp) % 2 == 0 else -A
+            return u
 
         tilts, armL, armR = run(u_of_t, int(T / dt), armL, armR)
-        # realised amplitude about the running mean, x component, using
-        # the last 2 cycles (first cycle carries the transient)
-        x = tilts[int(2 * hp / dt):, 0]
+        # realised amplitude about the running mean, excited component,
+        # using the last 2 cycles (first cycle carries the transient)
+        x = tilts[int(2 * hp / dt):, axis]
         amp_real = 0.5 * (np.percentile(x, 98) - np.percentile(x, 2))
         rows.append({"amp_cmd": A,
                      "amp_realised": round(float(amp_real), 6),
@@ -113,11 +115,14 @@ def main():
     ap.add_argument("--out", default="artifacts/mujoco/tilt_smallsignal.json")
     ap.add_argument("--amps", nargs="+", type=float,
                     default=[0.001, 0.002, 0.005, 0.01, 0.02, 0.05, 0.1])
+    ap.add_argument("--axis", type=int, default=0, choices=[0, 1])
+    ap.add_argument("--mass", type=float, default=1.0)
     args = ap.parse_args()
-    rows, sag = measure(args.amps)
+    rows, sag = measure(args.amps, axis=args.axis, mass=args.mass)
     out = {"method": "square-wave tilt commands through the full arm "
                      "stack, 1 s half-period, realised amplitude from the "
                      "last 2 of 3 cycles (98-2 percentile band /2)",
+           "axis": args.axis, "mass": args.mass,
            "rest_sag_tilt": [round(float(s), 5) for s in sag],
            "rows": rows}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
