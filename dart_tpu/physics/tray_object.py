@@ -373,7 +373,8 @@ def step_object(s: TrayObjectState, theta: jnp.ndarray,
     q_rock = jnp.clip(q_rock, -2.0 * q_crit, 2.0 * q_crit)
     return TrayObjectState(theta=theta, theta_dot=theta_dot, p=p, v=v,
                            v_roll=v_roll, q_rock=q_rock, w_rock=w_rock,
-                           toppled=toppled, lag_x1=s.lag_x1, lag_x2=s.lag_x2)
+                           toppled=toppled, lag_x1=s.lag_x1, lag_x2=s.lag_x2,
+                           lag_b=s.lag_b)
 
 
 def lag_poles(omega_n, zeta):

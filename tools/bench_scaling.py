@@ -57,6 +57,10 @@ _DCN_WORKER = textwrap.dedent("""
     sys.path.insert(0, {repo!r})
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # Shared persistent compile cache across BOTH processes (VERDICT r4
+    # next-6): each process otherwise pays the full sweep compile.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dart_tpu_jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from dart_tpu.parallel import mesh as mesh_mod
 
     ok = mesh_mod.init_distributed(coordinator_address={addr!r},
@@ -76,7 +80,24 @@ _DCN_WORKER = textwrap.dedent("""
     rng = np.random.default_rng(0)
     batch = scenes.random_scenarios(rng, {per_dev} * jax.device_count(),
                                     dtype=jnp.float32)
+    t0 = time.time()
     sweep_mod.run_sweep(ev, batch, mesh)          # compile
+    t_compile = time.time() - t0
+    # Per-dispatch overhead floor (VERDICT r4 next-6 profile): a trivial
+    # cross-process collective, timed like the real thing (dispatch +
+    # collective + host fetch).
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    tiny = jax.jit(jax.shard_map(
+        lambda x: jax.lax.psum(x, "scenario"), mesh=mesh,
+        in_specs=P("scenario"), out_specs=P(), check_vma=False))
+    xs = jnp.arange(jax.device_count(), dtype=jnp.float32)
+    float(jnp.sum(tiny(xs)))                       # compile
+    disp = []
+    for _ in range(7):
+        td = time.time()
+        float(jnp.sum(tiny(xs)))
+        disp.append(time.time() - td)
     reps = []
     for _ in range(3):
         t0 = time.time()
@@ -88,6 +109,8 @@ _DCN_WORKER = textwrap.dedent("""
     el = sorted(reps)[1]
     if jax.process_index() == 0:
         print("DCN_REPS", " ".join("%.2f" % r for r in reps))
+        print("DCN_PHASES", "%.2f" % t_compile,
+              "%.4f" % sorted(disp)[len(disp) // 2])
         print("DCN_RESULT", el, batch.size, float(agg.n))
 """)
 
@@ -131,6 +154,15 @@ def measure_dcn(per_dev, n_steps):
            "wall_s": round(el, 2), "episodes_per_s": round(size / el, 2)}
     if rep:
         out["rep_walls_s"] = [float(x) for x in rep.group(1).split()]
+    ph = re.search(r"DCN_PHASES ([\d.]+) ([\d.]+)", outs[0] + outs[1])
+    if ph:
+        # dispatch floor = one trivial cross-process collective round;
+        # compute = wall - dispatch (one dispatch per sweep rep).
+        out["compile_s"] = float(ph.group(1))
+        out["dispatch_floor_s"] = float(ph.group(2))
+        out["phase_split"] = {
+            "dispatch_s": float(ph.group(2)),
+            "compute_s": round(el - float(ph.group(2)), 3)}
     return out
 
 

@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--mpc_horizon", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint_dir", default="artifacts/lmpc/fullstack")
+    ap.add_argument("--max_episode_steps", type=int, default=256,
+                    help="control periods per episode. r5 hold curriculum "
+                         "(VERDICT r4 next-8): 768 makes ~80%% of training "
+                         "states POST-convergence holds (reach ~1-1.5 s, "
+                         "episode 7.7 s), teaching the tuner to keep a "
+                         "converged object parked, not just to reach")
     args = ap.parse_args()
 
     from dart_tpu.adapt import lmpc_fullstack as fstr
@@ -41,7 +47,7 @@ def main():
     from dart_tpu.rollout import full_stack as fs
 
     env_cfg = fstr.FSEnvConfig(dt=0.002, substeps=5, qp_iters=20,
-                               max_episode_steps=256)
+                               max_episode_steps=args.max_episode_steps)
     ctrl_dt = env_cfg.dt * env_cfg.substeps
     ctlr = mpc_mod.LMPC(N=args.mpc_horizon, dt=ctrl_dt,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=4))
