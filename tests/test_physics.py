@@ -310,3 +310,62 @@ def test_liftoff_threshold_matches_static_criterion():
     above = _hold_tilt("cube", 0.82, T=400)
     assert float(jnp.abs(below.q_rock[0])) == 0.0
     assert float(jnp.abs(above.q_rock[0])) > 0.0
+
+
+def test_rolling_stiction_cone_capability():
+    """roll_stick > 0 (a condim-6-style rolling friction cone): a slow
+    roller inside the cone holds exactly; outside the cone it rolls. The
+    CALIBRATED plant runs with the cone at 0 (measured: the reference
+    world is condim 3, artifacts/mujoco/roll_stiction.json)."""
+    dt = 0.002
+    base = to_mod.make_params(shape="sphere", mu=0.1, dtype=jnp.float64)
+    params = base._replace(roll_stick=jnp.asarray([0.04, 0.04], jnp.float64))
+    stepj = jax.jit(lambda s, th: to_mod.step_object(
+        s, th, jnp.zeros(2), params, dt))
+    inside = jnp.asarray([0.02, 0.0], jnp.float64)    # tan < 0.04
+    outside = jnp.asarray([0.08, 0.0], jnp.float64)   # tan > 0.04
+    s = to_mod.init_state(dtype=jnp.float64)
+    for _ in range(1000):
+        s = stepj(s, inside)
+    assert float(jnp.abs(s.p[0])) < 1e-6, float(s.p[0])   # held exactly
+    s2 = to_mod.init_state(dtype=jnp.float64)
+    for _ in range(1000):
+        s2 = stepj(s2, outside)
+    assert float(jnp.abs(s2.p[0])) > 0.01                 # rolls away
+    # calibrated cone is zero: the same inside-tilt creeps (reference
+    # contact model has no rolling stiction)
+    s3 = to_mod.init_state(dtype=jnp.float64)
+    stepb = jax.jit(lambda s, th: to_mod.step_object(
+        s, th, jnp.zeros(2), base, dt))
+    for _ in range(1000):
+        s3 = stepb(s3, inside)
+    assert float(jnp.abs(s3.p[0])) > 1e-4
+
+
+def test_backlash_swallows_micro_commands():
+    """The calibrated plant's small-signal backlash (measured arm-stack
+    friction): commands inside the play realise only the presliding
+    fraction; large commands realise fully minus the play droop; the
+    uncalibrated plant (back_w = 0) is exactly linear."""
+    dt = 0.002
+    cal = to_mod.make_params(shape="cube", mu=0.1, calibrated=True,
+                             dtype=jnp.float64)
+    stepj = jax.jit(lambda s, u: to_mod.step(s, u, cal, dt))
+    s = to_mod.init_state(dtype=jnp.float64)
+    for _ in range(1500):                       # 3 s at a 4 mrad command
+        s = stepj(s, jnp.asarray([0.004, 0.0], jnp.float64))
+    # inside the 7 mrad x-play: only ~gss (9.5%) realised
+    assert float(s.theta[0]) < 0.001, float(s.theta[0])
+    s2 = to_mod.init_state(dtype=jnp.float64)
+    for _ in range(3000):                       # 6 s at 0.1 rad
+        s2 = stepj(s2, jnp.asarray([0.1, 0.0], jnp.float64))
+    th = float(s2.theta[0])
+    assert 0.085 < th < 0.097, th               # full minus play droop
+    # uncalibrated: linear lag reaches the command exactly
+    lin = to_mod.make_params(shape="cube", mu=0.1, omega_n=40.0, zeta=1.0,
+                             dtype=jnp.float64)
+    s3 = to_mod.init_state(dtype=jnp.float64)
+    stepl = jax.jit(lambda s, u: to_mod.step(s, u, lin, dt))
+    for _ in range(1500):
+        s3 = stepl(s3, jnp.asarray([0.004, 0.0], jnp.float64))
+    assert abs(float(s3.theta[0]) - 0.004) < 1e-4
