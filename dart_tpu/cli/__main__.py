@@ -1,6 +1,11 @@
 """Unified dispatcher — the `PMPC/launch.sh` equivalent.
 
-    python -m dart_tpu.cli {pmpc|rmpc|lmpc|sweep|bench|demo|preview} [args...]
+    python -m dart_tpu.cli {pmpc|rmpc|lmpc|sweep|bench|demo|preview|watch}
+        [args...]
+
+`watch` is the live episode viewer (the reference `mujoco.viewer`
+stand-in): tail a telemetry ring written by `pmpc --stream` and render
+the tray map / tilt / error live in the terminal.
 
 `demo` runs the three canned experiments of the reference launcher
 (`launch.sh:34-52`): cube precise, cylinder fast, sphere gentle.
@@ -29,6 +34,9 @@ def main(argv=None):
         return m(rest)
     if cmd == "preview":
         from dart_tpu.cli.preview import main as m
+        return m(rest)
+    if cmd == "watch":
+        from dart_tpu.cli.watch import main as m
         return m(rest)
     if cmd == "bench":
         import runpy

@@ -39,6 +39,10 @@ def build_parser():
                         "(io.streaming.TelemetryTap); read back with "
                         "io.ringlog.RingLogger.read")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late "
+                        "here: sitecustomize imports jax at interpreter "
+                        "start)")
     return p
 
 
@@ -46,6 +50,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from dart_tpu.control import mpc as mpc_mod
     from dart_tpu.io.logging import EpisodeLog, to_jsonable
