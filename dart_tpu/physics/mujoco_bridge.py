@@ -404,7 +404,11 @@ def lmpc_solve_fn(policy_params, policy_model, N: int = 12, dt: float = 0.01,
         # update lands — "frozen at first crossing" exactly, mirroring
         # evaluate.py's stopped-gating order.
         err = jnp.hypot(obs[0] - target8[0], obs[2] - target8[2])
-        frozen = (frozen | (err < freeze_tol)) & (err < reengage_tol)
+        # Freeze only when genuinely settled (slow), not on a swing-
+        # through crossing — see rollout.evaluate.make_lmpc_evaluator.
+        speed = jnp.hypot(obs[1], obs[3])
+        frozen = (frozen | ((err < freeze_tol) & (speed < 0.02))) \
+            & (err < reengage_tol)
         current_k = jnp.where(((k % param_update_every) == 0) & (~frozen),
                               k_new, current_k)
         cc, u, _ = ctlr.solve(cc, obs, target8, current_k)

@@ -477,9 +477,16 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
                            + (s_keep.p[1] - target_xy[1]) ** 2)
             if hold_after_convergence:
                 # Hysteretic clutch (see docstring): engage the freeze
-                # inside tol, release it once the error re-exceeds
-                # reengage_tol — the tuner gets its excitation back.
-                stopped_n = (stopped | (warm & (err < tol))) \
+                # only when genuinely SETTLED — inside tol AND slow. A
+                # rolling object can swing THROUGH the tolerance ball at
+                # speed; freezing there locks in mid-transient params
+                # and the hold runs on a model tuned for the swing (the
+                # r4/r5 rolling-lane ejection mechanism). Release once
+                # the error re-exceeds reengage_tol — the tuner gets its
+                # excitation back.
+                speed = jnp.hypot(s_keep.v[0], s_keep.v[1])
+                stopped_n = (stopped
+                             | (warm & (err < tol) & (speed < 0.02))) \
                     & (err < reengage_tol)
             else:
                 stopped_n = stopped | (warm & (err < tol) & (~lost_n))

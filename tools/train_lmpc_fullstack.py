@@ -37,6 +37,13 @@ def main():
                          "states POST-convergence holds (reach ~1-1.5 s, "
                          "episode 7.7 s), teaching the tuner to keep a "
                          "converged object parked, not just to reach")
+    ap.add_argument("--plant", default="fullstack",
+                    choices=["fullstack", "lag"],
+                    help="training plant: 'fullstack' = dual-arm world "
+                         "(adapt.lmpc_fullstack); 'lag' = the calibrated "
+                         "tray-lag plant with the r5 small-signal backlash "
+                         "(adapt.lmpc_lagplant) — the exact plant the "
+                         "batched evaluators measure on")
     args = ap.parse_args()
 
     from dart_tpu.adapt import lmpc_fullstack as fstr
@@ -46,21 +53,32 @@ def main():
     from dart_tpu.io import checkpoint as ckpt
     from dart_tpu.rollout import full_stack as fs
 
-    env_cfg = fstr.FSEnvConfig(dt=0.002, substeps=5, qp_iters=20,
-                               max_episode_steps=args.max_episode_steps)
-    ctrl_dt = env_cfg.dt * env_cfg.substeps
+    ctrl_dt = 0.002 * 5
     ctlr = mpc_mod.LMPC(N=args.mpc_horizon, dt=ctrl_dt,
                         cfg=mpc_mod.ilqr.ILQRConfig(max_iters=4))
     ppo_cfg = ppo_mod.PPOConfig(epochs=4, minibatch_size=64)
     model = ppo_mod.ActorCritic(act_dim=trainer.N_PARAMS)
-    scene = fs.make_scene(dt=env_cfg.dt, dtype=jnp.float32)
 
-    train_step, tx = fstr.make_train_step(model, ctlr, scene, env_cfg,
-                                          ppo_cfg, args.rollout_len,
-                                          replay=True)
+    if args.plant == "lag":
+        from dart_tpu.adapt import lmpc_lagplant as lstr
+        env_cfg = lstr.LagEnvConfig(
+            dt=0.002, substeps=5,
+            max_episode_steps=args.max_episode_steps)
+        train_step, tx = lstr.make_train_step(model, ctlr, env_cfg,
+                                              ppo_cfg, args.rollout_len,
+                                              replay=True)
+        env_init = lstr.env_init
+    else:
+        env_cfg = fstr.FSEnvConfig(dt=0.002, substeps=5, qp_iters=20,
+                                   max_episode_steps=args.max_episode_steps)
+        scene = fs.make_scene(dt=env_cfg.dt, dtype=jnp.float32)
+        train_step, tx = fstr.make_train_step(model, ctlr, scene, env_cfg,
+                                              ppo_cfg, args.rollout_len,
+                                              replay=True)
+        env_init = fstr.env_init
     ts = trainer.init_train_state(jax.random.PRNGKey(args.seed), model, tx)
     env_states = jax.vmap(
-        lambda r: fstr.env_init(r, ctlr, env_cfg))(
+        lambda r: env_init(r, ctlr, env_cfg))(
             jax.random.split(jax.random.PRNGKey(args.seed + 1), args.envs))
     buf = trainer.init_replay(args.envs, args.rollout_len)
 
