@@ -36,6 +36,11 @@ class FSEnvConfig(NamedTuple):
     param_update_every: int = 8
     act_cfg: ppo_mod.ParamActionConfig = ppo_mod.ParamActionConfig()
     rew_cfg: ppo_mod.RewardConfig = ppo_mod.RewardConfig()
+    # Domain-randomisation shape distribution (cube, cylinder, sphere).
+    # r5 hold curriculum: spheres are the marginal post-convergence lanes
+    # (no friction braking on either axis), so the retrain oversamples
+    # them — pass e.g. (0.25, 0.25, 0.5).
+    shape_probs: tuple = (1 / 3, 1 / 3, 1 / 3)
 
 
 class FSEnvState(NamedTuple):
@@ -52,7 +57,9 @@ class FSEnvState(NamedTuple):
     rng: jnp.ndarray
 
 
-def sample_obj_params(rng, dtype=jnp.float32) -> to_mod.TrayObjectParams:
+def sample_obj_params(rng, dtype=jnp.float32,
+                      shape_probs=(1 / 3, 1 / 3, 1 / 3)
+                      ) -> to_mod.TrayObjectParams:
     """Randomise shape/mass/friction over the 18-config envelope.
 
     r4: carries the MuJoCo-calibrated per-shape contact dissipation
@@ -69,7 +76,8 @@ def sample_obj_params(rng, dtype=jnp.float32) -> to_mod.TrayObjectParams:
                           for s in to_mod.SHAPES], dtype)
     sd_tab = jnp.asarray([to_mod.CALIBRATED_SLIDE_DAMP[s]
                           for s in to_mod.SHAPES], dtype)
-    shape = jax.random.randint(k1, (), 0, 3)
+    shape = jax.random.choice(k1, 3,
+                              p=jnp.asarray(shape_probs, jnp.float32))
     mu = jax.random.choice(k3, jnp.asarray([0.05, 0.1, 0.2], dtype))
     return to_mod.TrayObjectParams(
         mass=jax.random.choice(k2, jnp.asarray([1.0, 2.0, 3.0], dtype)),
@@ -104,7 +112,7 @@ def env_init(rng, ctlr: mpc_mod.LMPC, cfg: FSEnvConfig) -> FSEnvState:
         time_penalty=jnp.zeros((), dtype),
         episode_step=jnp.zeros((), jnp.int32),
         target=sample_target(k1).astype(dtype),
-        obj_params=sample_obj_params(k2, dtype),
+        obj_params=sample_obj_params(k2, dtype, cfg.shape_probs),
         rng=k4)
 
 
@@ -155,7 +163,8 @@ def env_step(policy_params, model, ctlr: mpc_mod.LMPC,
             time_penalty=jnp.zeros((), dtype),
             episode_step=jnp.zeros((), jnp.int32),
             target=sample_target(k_tgt).astype(dtype),
-            obj_params=sample_obj_params(k_obj, dtype),
+            obj_params=sample_obj_params(k_obj, dtype,
+                                         cfg.shape_probs),
             rng=rng)
 
     def cont_state():

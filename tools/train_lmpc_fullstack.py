@@ -37,6 +37,12 @@ def main():
                          "states POST-convergence holds (reach ~1-1.5 s, "
                          "episode 7.7 s), teaching the tuner to keep a "
                          "converged object parked, not just to reach")
+    ap.add_argument("--shape_probs", nargs=3, type=float,
+                    default=[1 / 3, 1 / 3, 1 / 3],
+                    metavar=("CUBE", "CYL", "SPH"),
+                    help="fullstack only: domain-randomisation shape "
+                         "distribution (r5 sphere-heavy hold curriculum: "
+                         "0.2 0.3 0.5)")
     ap.add_argument("--plant", default="fullstack",
                     choices=["fullstack", "lag"],
                     help="training plant: 'fullstack' = dual-arm world "
@@ -70,7 +76,8 @@ def main():
         env_init = lstr.env_init
     else:
         env_cfg = fstr.FSEnvConfig(dt=0.002, substeps=5, qp_iters=20,
-                                   max_episode_steps=args.max_episode_steps)
+                                   max_episode_steps=args.max_episode_steps,
+                                   shape_probs=tuple(args.shape_probs))
         scene = fs.make_scene(dt=env_cfg.dt, dtype=jnp.float32)
         train_step, tx = fstr.make_train_step(model, ctlr, scene, env_cfg,
                                               ppo_cfg, args.rollout_len,
