@@ -64,13 +64,16 @@ def test_rmpc_steady_state_band():
 
 
 def test_lmpc_steady_state_band():
-    """LMPC: sliding shapes inside the task band; rolling spheres hold
-    within the post-convergence wobble budget (r4 measured 8.75-25.6 mm;
-    the r5 hold-curriculum retrain targets <= 10 mm — tighten this gate
-    with the retrained artifact)."""
-    rows = _load("lmpc")["rows"]
+    """LMPC (r5 hold-curriculum retrain + settle-gated hysteretic
+    clutch): sliding shapes inside the reference band edge; rolling
+    spheres hold a bounded post-convergence wobble (r5 measured: sliding
+    max 5.64 mm, spheres 7.57-24.53 mm, mean settled 7.5 mm — none
+    ejecting over the 15 s settled protocol)."""
+    d = _load("lmpc")
+    rows = d["rows"]
     sliding = [r for r in rows if r["shape"] != "sphere"]
-    assert max(r["settled_sse_mm"] for r in sliding) < 10.0
+    assert max(r["settled_sse_mm"] for r in sliding) < 6.0
     spheres = [r for r in rows if r["shape"] == "sphere"]
     assert len(spheres) == 6
-    assert max(r["settled_sse_mm"] for r in spheres) < 30.0
+    assert max(r["settled_sse_mm"] for r in spheres) < 26.0
+    assert d["mean_settled_sse_mm"] < 8.0
