@@ -148,11 +148,13 @@ def run_bench(backend: str) -> int:
         B, T = 128, 10
         _results["smoke"] = True
     # Long-loop multiplier: the slope is taken over (LONG-1)*T steps. On
-    # TPU the per-dispatch tunnel round trip (~25-30 ms, jittery) is the
-    # dominant noise, so the span must dwarf it: 15*50 steps * 4096 lanes
-    # ~ 3.1M solves ~ 57 ms of pure compute at 54M/s. On CPU compute is
-    # slow enough that the r4 span already dwarfs dispatch.
-    LONG = 16 if on_tpu else 4
+    # TPU the per-dispatch tunnel round trip (~25-30 ms) WANDERS by
+    # +-8 ms between runs, so the span must dwarf that drift, not just
+    # the mean: 63*50 steps * 4096 lanes ~ 12.9M solves ~ 240 ms of pure
+    # compute at 54M/s (a 16x span left ~57 ms of signal and run-to-run
+    # warm-tier scatter of +-15%). On CPU compute is slow enough that
+    # the r4 span already dwarfs dispatch.
+    LONG = 64 if on_tpu else 4
     REPS = 4 if on_tpu else 2
 
     rng = np.random.default_rng(0)
