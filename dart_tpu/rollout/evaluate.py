@@ -362,7 +362,7 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
     SSE is the genuine post-convergence hold instead of being clamped at
     the tolerance by the freeze.
 
-    ``reengage_tol`` (r5, settled protocol only; default ``2 * tol``):
+    ``reengage_tol`` (r5, settled protocol only; default ``1.2 * tol``):
     the adaptation clutch is HYSTERETIC rather than sticky. The r4 sticky
     freeze had no recovery path: when a rolling object under the frozen
     (now-miscalibrated) 34-param model wandered past the tolerance, the
@@ -388,7 +388,7 @@ def make_lmpc_evaluator(policy_params, model, n_steps: int = 2500,
     n_ctrl = n_steps // control_every
     act_cfg = ppo_mod.ParamActionConfig()
     if reengage_tol is None:
-        reengage_tol = 2.0 * tol
+        reengage_tol = 1.2 * tol
 
     def evaluate(shape_kappa_inv, mass, mu, target_xy, rng):
         dtype = mass.dtype
