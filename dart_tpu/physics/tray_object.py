@@ -150,7 +150,12 @@ ROLL_STICK_PER_MU = 0.0
 # ~0.76 (0.1 rad) to 0.004-0.08 (<= 0.01 rad): xArm7 joint frictionloss
 # swallows micro-commands. The y axis carries ~2.6x the play of x (its
 # tilt is realised through differently-loaded joints; it also sags more
-# at rest, -0.022 rad vs 0.008). This regime is load-bearing for
+# at rest, -0.022 rad vs 0.008). Mass-independence verified: the 2 kg
+# y-axis curve matches the 1 kg fit within measurement noise
+# (tilt_smallsignal_y_m2.json: ratios 0.01/0.13/0.63/0.77 at
+# 0.005/0.02/0.05/0.1 rad vs 0.009/0.06/0.59/0.80 at 1 kg), so one
+# backlash calibration serves both grid masses — unlike the lag poles,
+# which ARE mass-resolved. This regime is load-bearing for
 # post-convergence fidelity: on a backlash-free lag the MPC's micro
 # -corrections all act, letting a marginal hold loop pump energy that the
 # real plant swallows (the r4 rolling-lane ejections).

@@ -86,7 +86,6 @@ _DCN_WORKER = textwrap.dedent("""
     # Per-dispatch overhead floor (VERDICT r4 next-6 profile): a trivial
     # cross-process collective, timed like the real thing (dispatch +
     # collective + host fetch).
-    from functools import partial
     from jax.sharding import PartitionSpec as P
     tiny = jax.jit(jax.shard_map(
         lambda x: jax.lax.psum(x, "scenario"), mesh=mesh,
